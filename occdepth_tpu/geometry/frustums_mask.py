@@ -1,0 +1,85 @@
+"""Local frustum masks + per-frustum class histograms, vectorized.
+
+Replaces the python double loop over size x size image tiles
+(reference: occdepth/data/utils/helpers.py:172-260).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def compute_local_frustums(
+    projected_pix: np.ndarray,
+    pix_z: np.ndarray,
+    target: np.ndarray,
+    img_W: int,
+    img_H: int,
+    dataset: str,
+    n_classes: int,
+    size: int = 4,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Compute frustum voxel masks and class histograms for the fp loss.
+
+    Args:
+        projected_pix: (V, N, P, 2) per-view pattern pixels; only the centre
+            pattern point (P index 0) is used, like the reference
+            (helpers.py:228-231).
+        pix_z: (V, N) per-view voxel depths.
+        target: (H, W, D) voxel labels.
+        img_W, img_H: image dims.
+        dataset: "kitti" | "NYU" | "tartanair" (controls the N->grid reshape).
+        n_classes: histogram size.
+        size: tiles per image side; size^2 frustums total.
+
+    Returns:
+        frustums_masks: (size^2, H, W, D) bool.
+        frustums_class_dists: (size^2, n_classes) float64 counts.
+    """
+    H, W, D = target.shape
+    n_views = projected_pix.shape[0]
+    pix_x = projected_pix[:, :, 0, 0].astype(np.float64)  # (V, N)
+    pix_y = projected_pix[:, :, 0, 1].astype(np.float64)
+
+    # Tile bounds: x tiles vary fastest within a row of y tiles
+    # (reference loops `for y: for x:`, helpers.py:219-224).
+    bounds = np.arange(size, dtype=np.float64) / size
+    starts_x = (bounds * img_W)[None, :].repeat(size, 0).reshape(-1)  # (T,)
+    ends_x = ((bounds + 1.0 / size) * img_W)[None, :].repeat(size, 0).reshape(-1)
+    starts_y = (bounds * img_H)[:, None].repeat(size, 1).reshape(-1)
+    ends_y = ((bounds + 1.0 / size) * img_H)[:, None].repeat(size, 1).reshape(-1)
+
+    T = size * size
+    # (T, V, N) membership, OR over views
+    in_tile = (
+        (pix_x[None] >= starts_x[:, None, None])
+        & (pix_x[None] < ends_x[:, None, None])
+        & (pix_y[None] >= starts_y[:, None, None])
+        & (pix_y[None] < ends_y[:, None, None])
+        & (pix_z[None] > 0)
+    )
+    local_frustum = in_tile.any(axis=1)  # (T, N)
+
+    if dataset == "NYU":
+        grids = np.moveaxis(
+            local_frustum.reshape(T, 60, 60, 36), [1, 2, 3], [1, 3, 2]
+        )
+    elif dataset == "tartanair":
+        grids = np.moveaxis(
+            local_frustum.reshape(T, H, D, W), [1, 2, 3], [1, 3, 2]
+        )
+    else:  # kitti
+        grids = local_frustum.reshape(T, H, W, D)
+
+    valid = target != 255
+    masks = valid[None] & grids  # (T, H, W, D)
+
+    flat_target = target.reshape(-1).astype(np.int64)
+    flat_masks = masks.reshape(T, -1)
+    dists = np.zeros((T, n_classes), dtype=np.float64)
+    for t in range(T):  # T is tiny (16 or 64); bincount per tile
+        dists[t] = np.bincount(
+            flat_target[flat_masks[t]], minlength=n_classes
+        )[:n_classes]
+    return masks, dists

@@ -1,0 +1,95 @@
+"""On-device SSC metrics (completion IoU + per-class semantic IoU).
+
+Replaces the reference's per-step full-volume GPU->CPU numpy accumulator
+(occdepth/loss/sscMetrics.py:40-204): the O(2M-voxel) confusion reduction
+runs on device inside jit; only the tiny (C, C) counter matrix crosses to
+the host each step, where it accumulates in int64 (device int32 would
+overflow over an epoch).  Under a data-sharded batch the device reduction
+sums over the mesh automatically (GSPMD) — the TPU equivalent of the
+reference's `sync_dist=True`.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_update(
+    y_pred: jnp.ndarray,  # (B, ...) int predicted labels
+    y_true: jnp.ndarray,  # (B, ...) int targets (255 invalid)
+    n_classes: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-batch completion counts + semantic confusion matrix (device-side).
+
+    Matches SSCMetrics.add_batch semantics (sscMetrics.py:70-204): voxels
+    with target 255 are set to class 0 in both pred and target before
+    counting.
+
+    Returns:
+        completion: (3,) int32 [tp, fp, fn] of binarized occupancy.
+        conf: (C, C) int32 with conf[t, p] counts.
+    """
+    invalid = y_true == 255
+    t = jnp.where(invalid, 0, y_true).astype(jnp.int32)
+    p = jnp.where(invalid, 0, y_pred).astype(jnp.int32)
+
+    bt = t > 0
+    bp = p > 0
+    completion = jnp.stack([
+        (bt & bp).sum(), (~bt & bp).sum(), (bt & ~bp).sum()
+    ]).astype(jnp.int32)
+
+    conf = jnp.bincount(
+        (t * n_classes + p).reshape(-1), length=n_classes * n_classes
+    ).reshape(n_classes, n_classes).astype(jnp.int32)
+    return completion, conf
+
+
+class SSCMetrics:
+    """Host accumulator with the reference's add_batch/get_stats API."""
+
+    def __init__(self, n_classes: int):
+        self.n_classes = n_classes
+        self._update = jax.jit(confusion_update, static_argnums=2)
+        self.reset()
+
+    def reset(self):
+        self.completion = np.zeros(3, np.int64)
+        self.conf = np.zeros((self.n_classes, self.n_classes), np.int64)
+
+    def add_batch(self, y_pred, y_true):
+        comp, conf = self._update(
+            jnp.asarray(y_pred), jnp.asarray(y_true), self.n_classes
+        )
+        self.completion += np.asarray(jax.device_get(comp), np.int64)
+        self.conf += np.asarray(jax.device_get(conf), np.int64)
+
+    def merge_device(self, completion, conf):
+        """Accumulate counts already produced inside a jitted step."""
+        self.completion += np.asarray(jax.device_get(completion), np.int64)
+        self.conf += np.asarray(jax.device_get(conf), np.int64)
+
+    def get_stats(self) -> Dict[str, np.ndarray]:
+        """precision/recall/IoU/per-class IoU/mIoU (sscMetrics.py:93-109)."""
+        tp, fp, fn = (float(x) for x in self.completion)
+        if tp != 0:
+            precision = tp / (tp + fp)
+            recall = tp / (tp + fn)
+            iou = tp / (tp + fp + fn)
+        else:
+            precision = recall = iou = 0.0
+        conf = self.conf.astype(np.float64)
+        tps = np.diag(conf)
+        fps = conf.sum(0) - tps
+        fns = conf.sum(1) - tps
+        iou_ssc = tps / (tps + fps + fns + 1e-5)
+        return {
+            "precision": precision,
+            "recall": recall,
+            "iou": iou,
+            "iou_ssc": iou_ssc,
+            "iou_ssc_mean": float(np.mean(iou_ssc[1:])),
+        }

@@ -1,0 +1,184 @@
+"""FlospDepth (OAD): occupancy-aware depth branch.
+
+Reference: occdepth/models/flosp_depth/flosp_depth.py:324-608.  A
+camera-aware DepthNet predicts a per-pixel distribution over LID depth bins;
+the frustum volume is resampled into the voxel grid by a trilinear
+grid-sample and (for multi-cam) mean-aggregated with a resampled ones mask.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from occdepth_tpu.config import FlospDepthConfig
+from occdepth_tpu.geometry.frustum import FrustumGridSpec, frustum_grid
+from occdepth_tpu.models.layers import BatchNorm, torch_conv
+from occdepth_tpu.ops.grid_sample import grid_sample_3d
+
+
+class BasicBlock(nn.Module):
+    """mmdet ResNet BasicBlock: two 3x3 conv-BN with identity skip."""
+
+    channels: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        h = torch_conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype,
+                       name="conv1")(x)
+        h = BatchNorm(dtype=self.dtype, name="bn1")(h, train)
+        h = nn.relu(h)
+        h = torch_conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype,
+                       name="conv2")(h)
+        h = BatchNorm(dtype=self.dtype, name="bn2")(h, train)
+        return nn.relu(h + x)
+
+
+class DepthNet(nn.Module):
+    """Camera-aware depth distribution net (flosp_depth.py:201-257)."""
+
+    mid_channels: int
+    depth_channels: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, feat, scaled_pixel_size, train: bool):
+        """feat (B', h, w, C); scaled_pixel_size (B', 1)."""
+        x = torch_conv(self.mid_channels, (3, 3), dtype=self.dtype,
+                       name="reduce_conv")(feat)
+        x = BatchNorm(dtype=self.dtype, name="reduce_bn")(x, train)
+        x = nn.relu(x)
+
+        # Mlp(1, mid, mid) on the camera-derived pixel size
+        se = nn.Dense(self.mid_channels, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="mlp_fc1")(scaled_pixel_size)
+        se = nn.relu(se)
+        se = nn.Dense(self.mid_channels, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="mlp_fc2")(se)
+        se = se[:, None, None, :]  # (B', 1, 1, C)
+
+        # SELayer (flosp_depth.py:186-198)
+        gate = nn.Conv(self.mid_channels, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32, name="se_reduce")(se)
+        gate = nn.relu(gate)
+        gate = nn.Conv(self.mid_channels, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32, name="se_expand")(gate)
+        x = x * nn.sigmoid(gate)
+
+        for i in range(3):
+            x = BasicBlock(self.mid_channels, dtype=self.dtype,
+                           name=f"depth_conv_{i}")(x, train)
+        return torch_conv(self.depth_channels, (1, 1), padding=(0, 0),
+                          dtype=self.dtype, name="depth_pred")(x)
+
+
+class FlospDepth(nn.Module):
+    """Depth branch producing the per-voxel occupancy weight volume."""
+
+    conf: FlospDepthConfig
+    project_scale: int
+    scene_size: Tuple[int, int, int]
+    dataset: str
+    return_depth: bool
+    dtype: Optional[Any] = None
+
+    def _grid_spec(self) -> FrustumGridSpec:
+        c = self.conf
+        ps = self.project_scale
+        grid_size = tuple(
+            int((row[1] - row[0]) / row[2] / ps)
+            for row in (c.x_bound, c.y_bound, c.z_bound)
+        )
+        pc_range = (
+            c.x_bound[0], c.y_bound[0], c.z_bound[0],
+            c.x_bound[1], c.y_bound[1], c.z_bound[1],
+        )
+        return FrustumGridSpec(
+            grid_size=grid_size,
+            pc_range=pc_range,
+            num_bins=c.depth_channels,
+            depth_min=c.d_bound[0],
+            depth_max=c.d_bound[1],
+            mode=c.disc_mode,
+            final_dim=c.final_dim,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        img_feat: jnp.ndarray,  # (B, n_cams, h, w, C)
+        cam_k: jnp.ndarray,  # (B, n_cams, 3, 3)
+        T_velo_2_cam: jnp.ndarray,  # (B, n_cams, 4, 4)
+        ida_mats: jnp.ndarray,  # (B, n_cams, 4, 4)
+        vox_origin: Optional[jnp.ndarray] = None,  # (B, 3) NYU only
+        train: bool = False,
+    ):
+        B, n_cams, h, w, C = img_feat.shape
+        conf = self.conf
+        spec = self._grid_spec()
+
+        # camera-aware scale: ||(1/fx, 1/fy)|| * 1000 (flosp_depth.py:240-247)
+        inv_k = jnp.linalg.inv(cam_k.astype(jnp.float32))
+        pixel_size = jnp.sqrt(
+            inv_k[..., 0, 0] ** 2 + inv_k[..., 1, 1] ** 2
+        ).reshape(B * n_cams, 1)
+        scaled_pixel_size = pixel_size * 1000.0
+
+        feat = img_feat.reshape(B * n_cams, h, w, C)
+        depth_logits = DepthNet(
+            conf.mid_channels, conf.depth_channels, dtype=self.dtype,
+            name="depth_net",
+        )(feat, scaled_pixel_size.astype(feat.dtype), train)
+        depth = nn.softmax(
+            depth_logits.astype(jnp.float32), axis=-1
+        )  # (B*n_cams, h, w, D)
+        depth = depth.reshape(B, n_cams, h, w, conf.depth_channels)
+
+        # frustum volume layout for sampling: (D, h, w, 1)
+        vol = depth.transpose(0, 1, 4, 2, 3)[..., None]  # (B, V, D, h, w, 1)
+
+        # intrinsics as 3x4 cam_to_img
+        cam_to_img = jnp.concatenate(
+            [cam_k.astype(jnp.float32), jnp.zeros((B, n_cams, 3, 1))], axis=-1
+        )
+
+        if self.dataset == "NYU":
+            # NYU: dynamic bounds from the *first* batch element's origin
+            # (replicates flosp_depth.py:466-518, incl. its use of
+            # vox_origin[0] for the whole batch)
+            pc_min = vox_origin[0].astype(jnp.float32)
+        else:
+            pc_min = None
+
+        def make_grid(l2c, c2i, ida):
+            return frustum_grid(spec, l2c, c2i, ida, pc_min=pc_min)
+
+        grids = jax.vmap(jax.vmap(make_grid))(
+            T_velo_2_cam.astype(jnp.float32), cam_to_img,
+            ida_mats.astype(jnp.float32),
+        )  # (B, V, X, Y, Z, 3)
+
+        sample = lambda v, g: grid_sample_3d(v, g, "zeros", align_corners=False)
+        voxel_feats = jax.vmap(jax.vmap(sample))(vol, grids)  # (B, V, X, Y, Z, 1)
+
+        if n_cams == 1:
+            agg = voxel_feats[:, 0]
+        elif conf.agg_voxel_mode == "sum":
+            agg = voxel_feats.sum(axis=1)
+        else:  # mean with resampled ones mask (flosp_depth.py:578-598)
+            ones = jnp.ones_like(vol)
+            masks = jax.vmap(jax.vmap(sample))(ones, grids).sum(axis=1)
+            agg = voxel_feats.sum(axis=1)
+            agg = jnp.where(masks > 0, agg / jnp.where(masks > 0, masks, 1.0), agg)
+
+        if self.dataset == "NYU":
+            # (B, 60, 60, 36, 1) -> scene layout (B, 60, 36, 60, 1)
+            # (OccDepth.py:335-337 permute)
+            agg = agg.transpose(0, 1, 3, 2, 4)
+
+        if self.return_depth:
+            return agg, depth  # depth (B, V, h, w, D)
+        return agg

@@ -1,0 +1,194 @@
+"""OccDepth top-level model: 2D backbone -> SFA lift (-> OAD) -> 3D UNet.
+
+Functional flax rewrite of the reference LightningModule's forward path
+(occdepth/models/OccDepth.py:208-376).  All shapes are static; per-sample
+python loops become vmaps; the ragged per-sample calibration lists become
+batched (B, V, ...) arrays.
+
+Batch schema (channels-last, all fixed-shape):
+    img:            (B, V, H, W, 3) normalized RGB
+    projected_pix:  (B, Vl, N, P, 2) int32 full-res pattern pixels at
+                    project_scale (Vl = lift views, incl. NYU virtual view)
+    fov_mask:       (B, Vl, N, P) bool
+    cam_k:          (B, V, 3, 3)
+    T_velo_2_cam:   (B, V, 4, 4)
+    ida_mats:       (B, V, 4, 4)
+    vox_origin:     (B, 3) (NYU/tartanair) — optional
+    gt_depth:       (B, Vd, H, W) — optional (depth supervision)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from occdepth_tpu.config import OccDepthConfig
+from occdepth_tpu.models.flosp_depth import FlospDepth
+from occdepth_tpu.models.sfa import sfa_lift
+from occdepth_tpu.models.unet2d import UNet2D
+from occdepth_tpu.models.unet3d import UNet3DKitti, UNet3DNYU
+from occdepth_tpu.ops.grid_sample import grid_sample_2d
+from occdepth_tpu.ops.resize import resize_bilinear
+
+
+def _virtual_view(
+    feat: jnp.ndarray,  # (B, h, w, C) left-view features at one scale
+    gt_depth: jnp.ndarray,  # (B, 1, H, W) metric depth
+    scale: int,
+    bf: jnp.ndarray,  # () baseline * focal
+) -> jnp.ndarray:
+    """Synthesize right-view features by disparity warping.
+
+    Reference OccDepth.generate_virtual_img (OccDepth.py:233-260), including
+    its quirks: the sampling grid is built with `arange(-1, 1, 2/n)` (not the
+    grid_sample align_corners=False centres) and sample 0's disparity map is
+    broadcast over the whole batch (`grid_dx[0, ...]`, OccDepth.py:257).
+    """
+    B, h, w, C = feat.shape
+    depth = resize_bilinear(
+        gt_depth.transpose(0, 2, 3, 1), (h, w), align_corners=False
+    )[..., 0]  # (B, h, w)
+    bf_scale = bf / scale
+    grid_dx = bf_scale / depth
+    grid_dx = jnp.where(jnp.isinf(grid_dx), 0.0, grid_dx)
+    grid_dx = grid_dx * 2.0 / w
+
+    ys = -1.0 + (2.0 / h) * jnp.arange(h, dtype=jnp.float32)
+    xs = -1.0 + (2.0 / w) * jnp.arange(w, dtype=jnp.float32)
+    gx = jnp.broadcast_to(xs[None, :], (h, w)) + grid_dx[0]  # ref uses dx[0]
+    gy = jnp.broadcast_to(ys[:, None], (h, w))
+    grid = jnp.stack([gx, gy], axis=-1)  # (h, w, 2)
+
+    warp = lambda f: grid_sample_2d(f, grid, "border", align_corners=False)
+    return jax.vmap(warp)(feat)
+
+
+class OccDepthModel(nn.Module):
+    """End-to-end SSC model.  `cfg` is static (hashable dataclass)."""
+
+    cfg: OccDepthConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        dtype = (
+            jnp.bfloat16 if (cfg.compute_dtype == "bfloat16") else jnp.float32
+        )
+        img = batch["img"]
+        B, V = img.shape[0], img.shape[1]
+
+        # ---- 2D backbone over views (OccDepth.process_rgbs, :208-231) ----
+        unet2d = UNet2D(
+            backbone_2d_name=cfg.backbone_2d_name,
+            out_feature=cfg.feature_2d_oc,
+            return_up_feats=cfg.return_up_feats,
+            dtype=dtype,
+            name="net_rgb",
+        )
+        flat = img.reshape((B * V,) + img.shape[2:]).astype(dtype)
+        feats = unet2d(flat, train=train)  # dict of (B*V, h, w, C)
+        x_rgb: Dict[str, jnp.ndarray] = {}
+        for k, v in feats.items():
+            v = v.reshape((B, V) + v.shape[1:])
+            if cfg.share_2d_backbone_gradient and V > 1:
+                # views > 0 contribute no backbone gradient
+                # (OccDepth.py:213-216)
+                v = jnp.concatenate(
+                    [v[:, :1], jax.lax.stop_gradient(v[:, 1:])], axis=1
+                )
+            x_rgb[k] = v
+
+        # ---- NYU virtual right view from RGB-D (OccDepth.py:222-260) ----
+        if cfg.dataset == "NYU" and cfg.use_depth_gt and "gt_depth" in batch:
+            bf = batch["virtual_bf"].reshape(-1)[0].astype(jnp.float32)
+            gt_depth = batch["gt_depth"].astype(jnp.float32)  # (B, 1, H, W)
+            for scale in cfg.project_res:
+                key = f"1_{scale}"
+                virt = _virtual_view(
+                    x_rgb[key][:, 0].astype(jnp.float32), gt_depth, scale, bf
+                ).astype(dtype)
+                x_rgb[key] = jnp.concatenate(
+                    [x_rgb[key], virt[:, None]], axis=1
+                )
+
+        # ---- FLoSP lifting (SFA) ----
+        lift_feats = {
+            f"1_{s}": x_rgb[f"1_{s}"].astype(jnp.float32)
+            for s in cfg.project_res
+        }
+        scene_dims = cfg.scene_dims(cfg.project_scale)
+        x3d = sfa_lift(
+            lift_feats,
+            batch["projected_pix"],
+            batch["fov_mask"],
+            cfg.project_res,
+            scene_dims,
+            cfg.dataset,
+        )  # (B, X, Y, Z, C) fp32
+
+        out: Dict[str, jnp.ndarray] = {}
+
+        # ---- OAD depth branch (flosp_depth) ----
+        if cfg.trans_2d_to_3d == "flosp_depth":
+            fd_conf = cfg.flosp_depth_conf
+            rgb_key = f"1_{fd_conf.downsample_factor}"
+            n_depth_views = 1 if cfg.dataset == "NYU" else V
+            img_feat = x_rgb[rgb_key][:, :n_depth_views]
+            fd = FlospDepth(
+                conf=fd_conf,
+                project_scale=cfg.project_scale,
+                scene_size=cfg.full_scene_size,
+                dataset=cfg.dataset,
+                return_depth=cfg.with_depth_gt,
+                dtype=dtype,
+                name="flosp_depth",
+            )
+            result = fd(
+                img_feat,
+                batch["cam_k"][:, :n_depth_views],
+                batch["T_velo_2_cam"][:, :n_depth_views],
+                batch["ida_mats"][:, :n_depth_views],
+                vox_origin=batch.get("vox_origin"),
+                train=train,
+            )
+            if cfg.with_depth_gt:
+                x3d_depth, depth_pred = result
+                out["depth_pred"] = depth_pred
+            else:
+                x3d_depth = result
+            x3d = x3d * x3d_depth.astype(x3d.dtype) * 100.0  # OccDepth.py:339
+
+        # ---- 3D UNet decoder ----
+        if cfg.dataset == "NYU":
+            net3d = UNet3DNYU(
+                n_classes=cfg.n_classes,
+                feature=cfg.feature,
+                full_scene_size=cfg.full_scene_size,
+                context_prior=cfg.context_prior,
+                n_relations=cfg.n_relations,
+                cascade_cls=cfg.cascade_cls,
+                dtype=dtype,
+                name="net_3d_decoder",
+            )
+        else:
+            net3d = UNet3DKitti(
+                n_classes=cfg.n_classes,
+                feature=cfg.feature,
+                full_scene_size=cfg.full_scene_size,
+                project_scale=cfg.project_scale,
+                context_prior=cfg.context_prior,
+                n_relations=cfg.n_relations,
+                cascade_cls=cfg.cascade_cls,
+                occluded_cls=cfg.occluded_cls,
+                dtype=dtype,
+                name="net_3d_decoder",
+            )
+        net_out = net3d(x3d.astype(dtype), train=train)
+        for k, v in net_out.items():
+            out[k] = v.astype(jnp.float32) if k.endswith("logit") else v
+        if "P_logits" in net_out:
+            out["P_logits"] = net_out["P_logits"].astype(jnp.float32)
+        return out

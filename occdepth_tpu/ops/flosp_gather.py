@@ -1,0 +1,73 @@
+"""Fused FLoSP gather: lift a 2D feature map into per-voxel features.
+
+TPU-native replacement for the reference SFA gather loop
+(occdepth/models/SFA.py:17-43): for every voxel, gather its precomputed
+pattern pixels from the (padded) 2D map and average over the in-FOV ones.
+
+The 2D map is flattened to (HW + 1, C) with a zero sentinel row; indices of
+out-of-FOV pattern points equal HW, so the gather itself needs no branch —
+exactly the reference's `torch.cat([src, zeros], 1)` trick, but vectorized
+over pattern points and views instead of a python loop.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def flosp_gather(
+    x2d: jnp.ndarray, indices: jnp.ndarray, counts: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather-and-average pattern pixels for each voxel.
+
+    Args:
+        x2d: (H, W, C) feature map.
+        indices: (N, P) int32 flat pixel indices, H*W = zero sentinel.
+        counts: (N,) float32 number of in-FOV pattern points per voxel.
+
+    Returns:
+        (N, C) per-voxel features; voxels with count 0 are exactly 0
+        (reference SFA.py:32-41: divide then NaN->0).
+    """
+    H, W, C = x2d.shape
+    flat = x2d.reshape(H * W, C)
+    flat = jnp.concatenate([flat, jnp.zeros((1, C), flat.dtype)], axis=0)
+    gathered = jnp.take(flat, indices, axis=0)  # (N, P, C)
+    total = gathered.sum(axis=1)  # (N, C)
+    denom = jnp.where(counts > 0, counts, 1.0)[:, None]
+    return jnp.where(counts[:, None] > 0, total / denom, 0.0)
+
+
+def multiview_cosine_fuse(
+    feats: jnp.ndarray, valid: jnp.ndarray, eps: float = 1e-8
+) -> jnp.ndarray:
+    """Stereo-SFA cross-view fusion with cosine-similarity weights.
+
+    Reference SFA.py:46-88: for each view pair (i, j), voxels seen by both
+    views are weighted by the cosine similarity of their per-view features;
+    voxels seen by only one view keep that view's feature (weight 1).
+
+    Args:
+        feats: (V, N, C) per-view voxel features.
+        valid: (V, N) float32 in {0, 1} — 1 where the voxel is in view's FOV.
+
+    Returns:
+        (N, C) fused features.
+    """
+    V = feats.shape[0]
+    if V == 1:
+        return feats[0]
+
+    out = jnp.zeros_like(feats[0])
+    for i in range(V):
+        for j in range(i + 1, V):
+            fi, fj = feats[i], feats[j]
+            mi, mj = valid[i], valid[j]
+            both = mi * mj
+            # torch.cosine_similarity(fi, fj, dim=C) with its eps clamp
+            ni = jnp.maximum(jnp.linalg.norm(fi, axis=-1), eps)
+            nj = jnp.maximum(jnp.linalg.norm(fj, axis=-1), eps)
+            cos = (fi * fj).sum(axis=-1) / (ni * nj) * both
+            wi = cos + (mi - mj > 0).astype(feats.dtype)
+            wj = cos + (mj - mi > 0).astype(feats.dtype)
+            out = out + wi[:, None] * fi + wj[:, None] * fj
+    return out / (V * (V - 1))

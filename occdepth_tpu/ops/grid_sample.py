@@ -1,0 +1,131 @@
+"""grid_sample with exact torch.nn.functional.grid_sample semantics.
+
+The OAD frustum->voxel resample (reference f2v/sampler.py:59-64, called from
+flosp_depth.py:574-577) is `F.grid_sample(bilinear, zeros padding,
+align_corners=False)` in 3D; the virtual-stereo view synthesis
+(OccDepth.py:258) is the 2D variant with border padding.  Checkpoint parity
+requires matching the align_corners=False unnormalization
+`ix = ((x + 1) * W - 1) / 2` and the corner-masking of zero padding
+bit-for-bit, so these are hand-rolled here (channels-last, jittable,
+differentiable; the trilinear path is the one Pallas later fuses).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    if align_corners:
+        return (coord + 1.0) / 2.0 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+def _gather_2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """img (H, W, C), iy/ix int (...,) -> (..., C) via flat take."""
+    H, W, C = img.shape
+    flat = img.reshape(H * W, C)
+    idx = iy * W + ix
+    return jnp.take(flat, idx, axis=0)
+
+
+def grid_sample_2d(
+    img: jnp.ndarray,
+    grid: jnp.ndarray,
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Bilinear 2D grid sample.
+
+    Args:
+        img: (H, W, C) input feature map.
+        grid: (..., 2) normalized coords, last dim (x, y) in [-1, 1].
+        padding_mode: "zeros" | "border".
+
+    Returns (..., C).
+    """
+    H, W, _ = img.shape
+    ix = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
+    iy = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
+
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, W - 1)
+        iy = jnp.clip(iy, 0.0, H - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+
+    out = None
+    imgf = img.astype(jnp.float32)
+    for dy, wyc in ((0, 1.0 - wy), (1, wy)):
+        for dx, wxc in ((0, 1.0 - wx), (1, wx)):
+            cx = x0 + dx
+            cy = y0 + dy
+            if padding_mode == "zeros":
+                valid = (cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
+                w = jnp.where(valid, wxc * wyc, 0.0)
+            else:
+                w = wxc * wyc
+            gx = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
+            gy = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
+            val = _gather_2d(imgf, gy, gx) * w[..., None]
+            out = val if out is None else out + val
+    return out.astype(img.dtype)
+
+
+def grid_sample_3d(
+    vol: jnp.ndarray,
+    grid: jnp.ndarray,
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Trilinear 3D grid sample.
+
+    Args:
+        vol: (D, H, W, C) input volume (for OAD: D=depth bins, H/W=feature map).
+        grid: (..., 3) normalized coords, last dim (x->W, y->H, z->D).
+        padding_mode: "zeros" | "border".
+
+    Returns (..., C).
+    """
+    D, H, W, C = vol.shape
+    ix = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
+    iy = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
+    iz = _unnormalize(grid[..., 2].astype(jnp.float32), D, align_corners)
+
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, W - 1)
+        iy = jnp.clip(iy, 0.0, H - 1)
+        iz = jnp.clip(iz, 0.0, D - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    wx = ix - x0
+    wy = iy - y0
+    wz = iz - z0
+
+    volf = vol.astype(jnp.float32).reshape(D * H * W, C)
+    out = None
+    for dz, wzc in ((0, 1.0 - wz), (1, wz)):
+        for dy, wyc in ((0, 1.0 - wy), (1, wy)):
+            for dx, wxc in ((0, 1.0 - wx), (1, wx)):
+                cx = x0 + dx
+                cy = y0 + dy
+                cz = z0 + dz
+                w = wxc * wyc * wzc
+                if padding_mode == "zeros":
+                    valid = (
+                        (cx >= 0) & (cx <= W - 1)
+                        & (cy >= 0) & (cy <= H - 1)
+                        & (cz >= 0) & (cz <= D - 1)
+                    )
+                    w = jnp.where(valid, w, 0.0)
+                gx = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
+                gy = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
+                gz = jnp.clip(cz, 0, D - 1).astype(jnp.int32)
+                idx = (gz * H + gy) * W + gx
+                val = jnp.take(volf, idx, axis=0) * w[..., None]
+                out = val if out is None else out + val
+    return out.astype(vol.dtype)

@@ -1,0 +1,206 @@
+"""Loss assembly + jitted train/eval steps.
+
+Functional rewrite of OccDepth.step (occdepth/models/OccDepth.py:378-533):
+all loss terms are computed in one jitted function; the train step takes and
+returns a TrainState (params, BN batch_stats, optimizer state) with donated
+buffers.  Under a data-sharded batch and replicated state, GSPMD inserts the
+gradient all-reduce and cross-replica BN statistics automatically — the
+reference's DDP + sync_batchnorm without any comm code.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from occdepth_tpu.config import OccDepthConfig
+from occdepth_tpu.data.params import class_weights_for, class_weights_occ_for
+from occdepth_tpu.losses import (
+    ce_ssc_loss,
+    depth_cls_loss,
+    frustum_proportion_loss,
+    geo_scal_loss,
+    relation_loss,
+    sem_scal_loss,
+)
+from occdepth_tpu.losses.metrics import confusion_update
+from occdepth_tpu.models import OccDepthModel
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_model(cfg: OccDepthConfig) -> OccDepthModel:
+    return OccDepthModel(cfg=cfg)
+
+
+def init_state(
+    cfg: OccDepthConfig, rng: jax.Array, batch, tx: optax.GradientTransformation
+) -> TrainState:
+    model = create_model(cfg)
+    variables = model.init(rng, batch, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def compute_losses(
+    cfg: OccDepthConfig,
+    out: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    progress: jnp.ndarray,  # cur_batch / total_batch in [0, 1]
+    is_test: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """All loss terms of OccDepth.step, gated by the (static) config flags."""
+    logs: Dict[str, jnp.ndarray] = {}
+    loss = jnp.zeros((), jnp.float32)
+    ssc_logits = out["ssc_logit"]
+    target = batch["target"]
+
+    if cfg.context_prior and cfg.relation_loss:
+        l_rel = relation_loss(out["P_logits"], batch["CP_mega_matrices"])
+        loss += l_rel
+        logs["loss_relation_ce_super"] = l_rel
+
+    if cfg.CE_ssc_loss:
+        cw = jnp.asarray(class_weights_for(cfg.dataset))
+        l_ssc = ce_ssc_loss(ssc_logits, target, cw)
+        loss += l_ssc
+        logs["loss_ssc"] = l_ssc
+        if cfg.cascade_cls:
+            occ_target = jnp.where(
+                (target != 0) & (target != 255), 1, target
+            )
+            cw_occ = jnp.asarray(class_weights_occ_for(cfg.dataset))
+            l_occ = ce_ssc_loss(out["occ_logit"], occ_target, cw_occ)
+            loss += l_occ
+            logs["loss_occ"] = l_occ
+        if cfg.occluded_cls and "occluded" in batch:
+            l_occl = ce_ssc_loss(
+                out["occluded_logit"], batch["occluded"],
+                jnp.ones((2,), jnp.float32),
+            )
+            loss += l_occl
+            logs["loss_occluded"] = l_occl
+
+    if (
+        cfg.with_depth_gt
+        and cfg.trans_2d_to_3d == "flosp_depth"
+        and "gt_depth" in batch
+    ):
+        depth_pred = out["depth_pred"]  # (B, V, h, w, D)
+        if cfg.use_stereo_depth_gt:
+            depth_pred = depth_pred[:, :1]  # left cam only (OccDepth.py:443)
+        fd = cfg.flosp_depth_conf
+        l_depth = depth_cls_loss(
+            batch["gt_depth"], depth_pred, fd.downsample_factor, fd.d_bound
+        ) * cfg.depth_loss_weight
+        loss += l_depth
+        logs["loss_depth"] = l_depth
+
+    if cfg.sem_scal_loss:
+        if cfg.sem_step_decay_loss:
+            decay = jnp.maximum(0.1, 1.0 - progress)
+        else:
+            decay = 1.0
+        l_sem = sem_scal_loss(ssc_logits, target) * decay
+        loss += l_sem
+        logs["loss_sem_scal"] = l_sem
+
+    if cfg.geo_scal_loss:
+        l_geo = geo_scal_loss(ssc_logits, target)
+        loss += l_geo
+        logs["loss_geo_scal"] = l_geo
+
+    if cfg.fp_loss and not is_test and "frustums_masks" in batch:
+        l_fp = frustum_proportion_loss(
+            ssc_logits, batch["frustums_masks"], batch["frustums_class_dists"]
+        )
+        loss += l_fp
+        logs["loss_frustums"] = l_fp
+
+    logs["loss"] = loss
+    return loss, logs
+
+
+def make_train_step(cfg: OccDepthConfig, tx: optax.GradientTransformation):
+    """Build the jitted train step (donate state; shard batch on `data`)."""
+    model = create_model(cfg)
+
+    def train_step(state: TrainState, batch, progress):
+        def loss_fn(params):
+            out, new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, logs = compute_losses(cfg, out, batch, progress)
+            return loss, (logs, new_model_state, out)
+
+        grads, (logs, new_model_state, out) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+
+        y_pred = jnp.argmax(out["ssc_logit"], axis=-1)
+        completion, conf = confusion_update(
+            y_pred, batch["target"], cfg.n_classes
+        )
+
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_model_state["batch_stats"],
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, logs, completion, conf
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: OccDepthConfig):
+    model = create_model(cfg)
+
+    def eval_step(params, batch_stats, batch):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, train=False
+        )
+        _, logs = compute_losses(
+            cfg, out, batch, jnp.zeros(()), is_test=True
+        )
+        y_pred = jnp.argmax(out["ssc_logit"], axis=-1)
+        completion, conf = confusion_update(
+            y_pred, batch["target"], cfg.n_classes
+        )
+        return logs, y_pred, completion, conf
+
+    return jax.jit(eval_step)
+
+
+def make_forward(cfg: OccDepthConfig):
+    """Pure inference forward: (variables, batch) -> out dict."""
+    model = create_model(cfg)
+
+    def forward(variables, batch):
+        return model.apply(variables, batch, train=False)
+
+    return jax.jit(forward)

@@ -1,0 +1,29 @@
+"""Test config: run JAX on CPU with 8 virtual devices (multi-chip tests).
+
+The environment's sitecustomize registers the `axon` TPU backend and
+force-sets `jax_platforms="axon,cpu"` via jax.config (which overrides the
+JAX_PLATFORMS env var), so we must override the config back after import —
+tests must run on the virtual CPU mesh, not through the TPU tunnel.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(42)

@@ -1,0 +1,60 @@
+"""End-to-end forward smoke tests on tiny configs (reference-style smoke
+blocks, SURVEY.md §4: models/OccDepth.py:603-694 with data.pkl fixtures —
+here the fixture is a synthetic geometric batch)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from occdepth_tpu.data.batch import make_synthetic_batch
+from occdepth_tpu.models import OccDepthModel
+from occdepth_tpu.testing import tiny_kitti_config, tiny_nyu_config
+
+
+@pytest.fixture(scope="module")
+def kitti_setup():
+    cfg = tiny_kitti_config()
+    batch = make_synthetic_batch(cfg, batch_size=1)
+    model = OccDepthModel(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return cfg, batch, model, variables
+
+
+def test_kitti_forward_shapes(kitti_setup):
+    cfg, batch, model, variables = kitti_setup
+    out = model.apply(variables, batch, train=False)
+    X, Y, Z = cfg.full_scene_size
+    assert out["ssc_logit"].shape == (1, X, Y, Z, cfg.n_classes)
+    assert out["occ_logit"].shape == (1, X, Y, Z, 2)
+    assert "P_logits" in out
+    n8 = (X // cfg.project_scale // 4) * (Y // cfg.project_scale // 4) * (
+        Z // cfg.project_scale // 4
+    )
+    m8 = n8 // 8
+    assert out["P_logits"].shape == (1, cfg.n_relations, m8, n8)
+    assert "depth_pred" in out
+    assert np.isfinite(np.asarray(out["ssc_logit"])).all()
+    # projection must actually see the scene
+    assert batch["fov_mask"].sum() > 100
+
+
+def test_kitti_train_mode_updates_batch_stats(kitti_setup):
+    cfg, batch, model, variables = kitti_setup
+    out, mutated = model.apply(
+        variables, batch, train=True, mutable=["batch_stats"]
+    )
+    # at least one BN mean must move away from init zero
+    leaves = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_nyu_forward_shapes():
+    cfg = tiny_nyu_config()
+    batch = make_synthetic_batch(cfg, batch_size=2)
+    model = OccDepthModel(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(1), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    X, Y, Z = cfg.full_scene_size
+    assert out["ssc_logit"].shape == (2, X, Y, Z, cfg.n_classes)
+    assert out["occ_logit"].shape == (2, X, Y, Z, 2)
+    assert np.isfinite(np.asarray(out["ssc_logit"])).all()
