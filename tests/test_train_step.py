@@ -24,8 +24,20 @@ def setup():
     return cfg, tx, batch, state
 
 
-def test_train_step_decreases_nothing_nan(setup):
+def test_eval_step(setup):
     cfg, tx, batch, state = setup
+    eval_step = make_eval_step(cfg)
+    logs, y_pred, completion, conf = eval_step(
+        state.params, state.batch_stats, batch
+    )
+    assert y_pred.shape == batch["target"].shape
+    assert np.isfinite(float(logs["loss"]))
+
+
+def test_train_step_decreases_nothing_nan(setup):
+    # NOTE: the train step donates its input state; runs after eval_step.
+    cfg, tx, batch, state = setup
+    params_before = jax.device_get(state.params)  # snapshot before donation
     train_step = make_train_step(cfg, tx)
     new_state, logs, completion, conf = train_step(
         state, batch, jnp.zeros(())
@@ -36,21 +48,12 @@ def test_train_step_decreases_nothing_nan(setup):
     assert int(new_state.step) == 1
     # params actually changed
     diff = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max()), state.params,
-        new_state.params,
+        lambda a, b: float(jnp.abs(np.asarray(a) - np.asarray(b)).max()),
+        params_before,
+        jax.device_get(new_state.params),
     )
     assert max(jax.tree_util.tree_leaves(diff)) > 0
     assert conf.shape == (cfg.n_classes, cfg.n_classes)
-
-
-def test_eval_step(setup):
-    cfg, tx, batch, state = setup
-    eval_step = make_eval_step(cfg)
-    logs, y_pred, completion, conf = eval_step(
-        state.params, state.batch_stats, batch
-    )
-    assert y_pred.shape == batch["target"].shape
-    assert np.isfinite(float(logs["loss"]))
 
 
 def test_data_parallel_8_devices():
