@@ -48,7 +48,9 @@ def init_state(
     cfg: OccDepthConfig, rng: jax.Array, batch, tx: optax.GradientTransformation
 ) -> TrainState:
     model = create_model(cfg)
-    variables = model.init(rng, batch, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, batch, train=False
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
