@@ -24,6 +24,10 @@ BASELINE_2080TI_FPS = 2.0
 def main():
     import jax
 
+    from occdepth_tpu.utils.compilation_cache import enable
+
+    enable()
+
     from __graft_entry__ import entry
 
     fn, (variables, batch) = entry()

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     cfg = load_config(args.config, parse_overrides(args.overrides))
+    from occdepth_tpu.utils.compilation_cache import enable
+
+    enable()
     trainer = Trainer(cfg)
     trainer.fit(max_steps=args.max_steps)
 
