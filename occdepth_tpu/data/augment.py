@@ -57,6 +57,51 @@ def color_jitter(
     return np.clip(out, 0.0, 1.0)
 
 
+def gaussian_blur(img: np.ndarray, rng: np.random.RandomState,
+                  kernel_size: int = 3, sigma=(0.1, 2.0)) -> np.ndarray:
+    """GaussianBlur(kernel_size=3, sigma~U[0.1, 2]) on (H, W, C)."""
+    s = rng.uniform(*sigma)
+    half = kernel_size // 2
+    xs = np.arange(-half, half + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / s) ** 2)
+    k /= k.sum()
+    pad = np.pad(img, ((half, half), (half, half), (0, 0)), mode="reflect")
+    out = np.zeros_like(img)
+    for i, kv in enumerate(k):  # separable 1D passes (k is tiny)
+        out += kv * pad[i: i + img.shape[0], half: half + img.shape[1]]
+    pad = np.pad(out, ((half, half), (half, half), (0, 0)), mode="reflect")
+    out2 = np.zeros_like(img)
+    for j, kv in enumerate(k):
+        out2 += kv * pad[half: half + img.shape[0], j: j + img.shape[1]]
+    return out2
+
+
+def strong_img_aug(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """RandomGrayscale(p=0.1) + RandomErasing(scale 0.01-0.02, ratio 0.3-3)
+    on a normalized (H, W, C) image (kitti_dataset.py:106-121)."""
+    out = img
+    if rng.rand() < 0.1:
+        gray = (0.299 * out[..., 0] + 0.587 * out[..., 1]
+                + 0.114 * out[..., 2])[..., None]
+        out = np.repeat(gray, 3, axis=-1)
+    # RandomErasing default p=0.5
+    if rng.rand() < 0.5:
+        H, W, _ = out.shape
+        area = H * W
+        for _ in range(10):
+            target = rng.uniform(0.01, 0.02) * area
+            ratio = np.exp(rng.uniform(np.log(0.3), np.log(3.0)))
+            h = int(round(np.sqrt(target * ratio)))
+            w = int(round(np.sqrt(target / ratio)))
+            if h < H and w < W:
+                top = rng.randint(0, H - h + 1)
+                left = rng.randint(0, W - w + 1)
+                out = out.copy()
+                out[top: top + h, left: left + w] = 0.0
+                break
+    return out
+
+
 def ida_matrix(crop: Tuple[int, int, int, int], flip: bool) -> np.ndarray:
     """Image-data-augmentation matrix fed to the frustum generator.
 

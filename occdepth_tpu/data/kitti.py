@@ -19,8 +19,10 @@ from occdepth_tpu.data import kitti_io
 from occdepth_tpu.data.augment import (
     color_jitter,
     flip_projected_pix,
+    gaussian_blur,
     ida_matrix,
     normalize_rgb,
+    strong_img_aug,
 )
 from occdepth_tpu.geometry.frustums_mask import compute_local_frustums
 from occdepth_tpu.geometry.projection import vox2pix
@@ -184,7 +186,15 @@ class KittiDataset:
                 ):
                     if v < len(gt_depth):
                         gt_depth[v] = np.ascontiguousarray(gt_depth[v][:, ::-1])
-            imgs.append(normalize_rgb(img))
+            img = normalize_rgb(img)
+            # strong aug applies on the normalized image, like the
+            # reference's torchvision pipeline (kitti_dataset.py:401-407)
+            if self.split == "train" and cfg.use_strong_img_aug:
+                if self.rng.rand() < 0.3:
+                    img = gaussian_blur(img, self.rng)
+                if self.rng.rand() < 0.3:
+                    img = strong_img_aug(img, self.rng)
+            imgs.append(img)
             idas.append(ida_matrix((0, 0, IMG_W, IMG_H), do_flip))
         sample["img"] = np.stack(imgs)
         sample["ida_mats"] = np.stack(idas)

@@ -18,8 +18,10 @@ from occdepth_tpu.config import OccDepthConfig
 from occdepth_tpu.data.augment import (
     color_jitter,
     flip_projected_pix,
+    gaussian_blur,
     ida_matrix,
     normalize_rgb,
+    strong_img_aug,
 )
 from occdepth_tpu.geometry.frustums_mask import compute_local_frustums
 from occdepth_tpu.geometry.projection import vox2pix
@@ -135,7 +137,13 @@ class NYUDataset:
             if gt_depth is not None:
                 gt_depth = np.ascontiguousarray(gt_depth[:, ::-1])
 
-        sample["img"] = normalize_rgb(img)[None]  # (V=1, H, W, 3)
+        img = normalize_rgb(img)
+        if self.split == "train" and cfg.use_strong_img_aug:
+            if self.rng.rand() < 0.3:
+                img = gaussian_blur(img, self.rng)
+            if self.rng.rand() < 0.3:
+                img = strong_img_aug(img, self.rng)
+        sample["img"] = img[None]  # (V=1, H, W, 3)
         sample["ida_mats"] = ida_matrix((0, 0, IMG_W, IMG_H), do_flip)[None]
         sample["projected_pix"] = projected_pix
         sample["fov_mask"] = fov_mask
