@@ -143,6 +143,14 @@ def make_synthetic_batch(
     if cfg.dataset == "NYU":
         batch["virtual_bf"] = np.full((batch_size,), 0.1 * 518.8579, np.float32)
 
+    # depth is a model *input* (OAD distillation target and/or the NYU
+    # virtual-stereo source), independent of labels
+    if cfg.with_depth_gt:
+        Vd = 1 if (cfg.use_stereo_depth_gt or cfg.use_depth_gt) else V
+        depth = rs.uniform(0.0, 40.0, size=(batch_size, Vd, H, W))
+        depth[depth < 2.0] = 0.0
+        batch["gt_depth"] = depth.astype(np.float32)
+
     if with_labels:
         X, Y, Z = cfg.full_scene_size
         batch["target"] = rs.choice(
@@ -170,11 +178,6 @@ def make_synthetic_batch(
             batch["frustums_class_dists"] = rs.randint(
                 0, 50, size=(batch_size, F, cfg.n_classes)
             ).astype(np.float32)
-        if cfg.with_depth_gt:
-            Vd = 1 if (cfg.use_stereo_depth_gt or cfg.use_depth_gt) else V
-            depth = rs.uniform(0.0, 40.0, size=(batch_size, Vd, H, W))
-            depth[depth < 2.0] = 0.0
-            batch["gt_depth"] = depth.astype(np.float32)
         if cfg.occluded_cls:
             batch["occluded"] = (rs.rand(batch_size, X, Y, Z) > 0.5).astype(
                 np.int32
