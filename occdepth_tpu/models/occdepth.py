@@ -81,7 +81,12 @@ class OccDepthModel(nn.Module):
         B, V = img.shape[0], img.shape[1]
 
         # ---- 2D backbone over views (OccDepth.process_rgbs, :208-231) ----
-        unet2d = UNet2D(
+        unet2d_cls = UNet2D
+        if cfg.remat_backbone:
+            # rematerialize backbone activations in backward (trades FLOPs
+            # for HBM; for the b7/feature-64 high-capacity configs)
+            unet2d_cls = nn.remat(UNet2D, static_argnums=(2,))
+        unet2d = unet2d_cls(
             backbone_2d_name=cfg.backbone_2d_name,
             out_feature=cfg.feature_2d_oc,
             return_up_feats=cfg.return_up_feats,
@@ -89,7 +94,7 @@ class OccDepthModel(nn.Module):
             name="net_rgb",
         )
         flat = img.reshape((B * V,) + img.shape[2:]).astype(dtype)
-        feats = unet2d(flat, train=train)  # dict of (B*V, h, w, C)
+        feats = unet2d(flat, train)  # dict of (B*V, h, w, C)
         x_rgb: Dict[str, jnp.ndarray] = {}
         for k, v in feats.items():
             v = v.reshape((B, V) + v.shape[1:])

@@ -1,0 +1,60 @@
+"""Training-step throughput benchmark on the local device(s).
+
+Measures steady-state optimizer steps/sec (and frames/sec) of the FULL
+training step — forward, all losses (CE + sem/geo scal + frustum KL +
+relation + depth distillation), backward, AdamW update, BN stat update —
+for the flagship SemanticKITTI config on synthetic data.
+
+    python -m occdepth_tpu.scripts.bench_train [--batch 1] [--iters 10]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from occdepth_tpu.config import OccDepthConfig
+from occdepth_tpu.data.batch import make_synthetic_batch
+from occdepth_tpu.parallel import make_mesh, shard_batch
+from occdepth_tpu.training.optim import make_optimizer
+from occdepth_tpu.training.step import init_state, make_train_step
+from occdepth_tpu.utils.compilation_cache import enable
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+    enable()
+
+    cfg = OccDepthConfig(
+        dataset="kitti", use_stereo_depth_gt=True, compute_dtype=args.dtype,
+    )
+    batch = make_synthetic_batch(cfg, batch_size=args.batch, seed=0)
+    tx = make_optimizer(cfg, steps_per_epoch=1000)
+    state = init_state(cfg, jax.random.PRNGKey(0), batch, tx)
+    mesh = make_mesh(jax.devices(), ("data",))
+    sharded = shard_batch(batch, mesh)
+    train_step = make_train_step(cfg, tx)
+
+    state, logs, *_ = train_step(state, sharded, jnp.zeros(()))
+    jax.block_until_ready(logs["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, logs, *_ = train_step(state, sharded, jnp.zeros(()))
+    jax.block_until_ready(logs["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+
+    print(
+        f"train step: {dt * 1000:.1f} ms  "
+        f"({args.batch / dt:.2f} frames/sec, loss={float(logs['loss']):.3f})"
+    )
+
+
+if __name__ == "__main__":
+    main()
