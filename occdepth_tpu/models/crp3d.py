@@ -21,6 +21,7 @@ class CPMegaVoxels(nn.Module):
     size: Tuple[int, int, int]
     n_relations: int = 4
     bn_momentum: float = 0.0003
+    use_pallas: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -53,11 +54,22 @@ class CPMegaVoxels(nn.Module):
             )(x_agg)  # (B, X, Y, Z, M)
             logit = logit.reshape(B, flat, flat_ctx)  # (B, N, M)
             p_logits.append(logit)
-            prior = nn.sigmoid(logit.astype(jnp.float32)).astype(mega.dtype)
-            rel = jnp.einsum(
-                "bnm,bmc->bnc", prior, mega,
-                preferred_element_type=jnp.float32,
-            ).astype(mega.dtype)
+            if self.use_pallas:
+                from occdepth_tpu.ops.pallas_kernels import (
+                    crp_relation_matmul,
+                )
+
+                rel = jnp.stack([
+                    crp_relation_matmul(logit[b], mega[b]) for b in range(B)
+                ]).astype(mega.dtype)
+            else:
+                prior = nn.sigmoid(
+                    logit.astype(jnp.float32)
+                ).astype(mega.dtype)
+                rel = jnp.einsum(
+                    "bnm,bmc->bnc", prior, mega,
+                    preferred_element_type=jnp.float32,
+                ).astype(mega.dtype)
             rels.append(rel)
 
         x_context = jnp.concatenate(rels, axis=-1).reshape(

@@ -77,6 +77,9 @@ class OccDepthModel(nn.Module):
         dtype = (
             jnp.bfloat16 if (cfg.compute_dtype == "bfloat16") else jnp.float32
         )
+        from occdepth_tpu.ops.pallas_kernels import pallas_enabled
+
+        use_pallas = pallas_enabled(cfg)
         img = batch["img"]
         B, V = img.shape[0], img.shape[1]
 
@@ -132,6 +135,7 @@ class OccDepthModel(nn.Module):
             cfg.project_res,
             scene_dims,
             cfg.dataset,
+            use_pallas=use_pallas,
         )  # (B, X, Y, Z, C) fp32
 
         out: Dict[str, jnp.ndarray] = {}
@@ -175,6 +179,7 @@ class OccDepthModel(nn.Module):
                 context_prior=cfg.context_prior,
                 n_relations=cfg.n_relations,
                 cascade_cls=cfg.cascade_cls,
+                use_pallas=use_pallas,
                 dtype=dtype,
                 name="net_3d_decoder",
             )
@@ -188,6 +193,7 @@ class OccDepthModel(nn.Module):
                 n_relations=cfg.n_relations,
                 cascade_cls=cfg.cascade_cls,
                 occluded_cls=cfg.occluded_cls,
+                use_pallas=use_pallas,
                 dtype=dtype,
                 name="net_3d_decoder",
             )

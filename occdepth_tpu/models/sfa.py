@@ -41,6 +41,7 @@ def sfa_lift(
     project_res: Sequence[int],
     scene_dims: Tuple[int, int, int],
     dataset: str,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Lift multi-scale 2D features to the 3D grid, summed over scales.
 
@@ -55,7 +56,9 @@ def sfa_lift(
         out = None
         for scale in project_res:
             feats, valid = _lift_one_scale(x2ds[f"1_{scale}"], pix, fov, scale)
-            fused = multiview_cosine_fuse(feats, valid)  # (N, C)
+            fused = multiview_cosine_fuse(
+                feats, valid, use_pallas=use_pallas
+            )  # (N, C)
             out = fused if out is None else out + fused
         return out
 

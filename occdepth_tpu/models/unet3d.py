@@ -34,6 +34,7 @@ class UNet3DKitti(nn.Module):
     cascade_cls: bool = True
     occluded_cls: bool = False
     bn_momentum: float = 0.1
+    use_pallas: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -57,8 +58,8 @@ class UNet3DKitti(nn.Module):
             )
             ret = CPMegaVoxels(
                 f * 4, size_l3, n_relations=self.n_relations,
-                bn_momentum=self.bn_momentum, dtype=self.dtype,
-                name="cp_mega_voxels",
+                bn_momentum=self.bn_momentum, use_pallas=self.use_pallas,
+                dtype=self.dtype, name="cp_mega_voxels",
             )(x3d_l3, train)
             x3d_l3 = ret["x"]
             res["P_logits"] = ret["P_logits"]
@@ -109,6 +110,7 @@ class UNet3DNYU(nn.Module):
     n_relations: int = 4
     cascade_cls: bool = True
     bn_momentum: float = 0.1
+    use_pallas: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -130,8 +132,8 @@ class UNet3DNYU(nn.Module):
             size_1_16 = tuple(-(-s // 4) for s in self.full_scene_size)
             ret = CPMegaVoxels(
                 f * 4, size_1_16, n_relations=self.n_relations,
-                bn_momentum=self.bn_momentum, dtype=self.dtype,
-                name="cp_mega_voxels",
+                bn_momentum=self.bn_momentum, use_pallas=self.use_pallas,
+                dtype=self.dtype, name="cp_mega_voxels",
             )(x3d_1_16, train)
             x3d_1_16 = ret["x"]
             res["P_logits"] = ret["P_logits"]

@@ -38,7 +38,8 @@ def flosp_gather(
 
 
 def multiview_cosine_fuse(
-    feats: jnp.ndarray, valid: jnp.ndarray, eps: float = 1e-8
+    feats: jnp.ndarray, valid: jnp.ndarray, eps: float = 1e-8,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Stereo-SFA cross-view fusion with cosine-similarity weights.
 
@@ -56,6 +57,13 @@ def multiview_cosine_fuse(
     V = feats.shape[0]
     if V == 1:
         return feats[0]
+
+    if V == 2 and use_pallas:
+        from occdepth_tpu.ops.pallas_kernels import stereo_cosine_fuse
+
+        return stereo_cosine_fuse(
+            feats[0], feats[1], valid[0], valid[1], eps
+        )
 
     out = jnp.zeros_like(feats[0])
     for i in range(V):
