@@ -18,6 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: repeated suite runs skip the big compiles
+from occdepth_tpu.utils.compilation_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache("/tmp/occdepth_tpu_test_xla_cache")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
