@@ -39,7 +39,9 @@ class CPMegaVoxels(nn.Module):
         x_agg = ASPP3D(f, (1, 2, 3), bn_momentum=0.1, dtype=self.dtype,
                        name="aspp")(x, train)
 
-        mega_raw = nn.Conv(
+        from occdepth_tpu.ops.conv3d_fast import Conv3DFast
+
+        mega_raw = Conv3DFast(
             ctx_f, (3, 3, 3), strides=(2, 2, 2), padding=pad,
             dtype=self.dtype, param_dtype=jnp.float32, name="mega_context",
         )(x_agg)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from occdepth_tpu.config import FlospDepthConfig
 from occdepth_tpu.geometry.frustum import FrustumGridSpec, frustum_grid
 from occdepth_tpu.models.layers import BatchNorm, torch_conv
-from occdepth_tpu.ops.grid_sample import grid_sample_3d
+from occdepth_tpu.ops.grid_sample import grid_sample_3d, grid_sample_3d_ones
 
 
 class BasicBlock(nn.Module):
@@ -169,8 +169,10 @@ class FlospDepth(nn.Module):
         elif conf.agg_voxel_mode == "sum":
             agg = voxel_feats.sum(axis=1)
         else:  # mean with resampled ones mask (flosp_depth.py:578-598)
-            ones = jnp.ones_like(vol)
-            masks = jax.vmap(jax.vmap(sample))(ones, grids).sum(axis=1)
+            # exact analytic form of sampling an all-ones volume — no gather
+            D_, h_, w_ = vol.shape[2:5]
+            ones_w = lambda g: grid_sample_3d_ones((D_, h_, w_), g)
+            masks = jax.vmap(jax.vmap(ones_w))(grids)[..., None].sum(axis=1)
             agg = voxel_feats.sum(axis=1)
             agg = jnp.where(masks > 0, agg / jnp.where(masks > 0, masks, 1.0), agg)
 

@@ -84,19 +84,39 @@ def torch_conv(
     dilation: Optional[Sequence[int]] = None,
     dtype: Optional[Dtype] = None,
     name: Optional[str] = None,
-) -> nn.Conv:
-    """nn.Conv with torch-style integer padding (symmetric per-dim)."""
+):
+    """nn.Conv with torch-style integer padding (symmetric per-dim).
+
+    3-spatial-dim convs use the exact decompose-to-2D path (Conv3DFast) —
+    XLA's native conv3d TPU lowering is ~10x slower (see ops/conv3d_fast).
+    """
     kernel = tuple(kernel)
     if padding is None:
         padding = tuple(k // 2 for k in kernel)
     pad = tuple((p, p) for p in padding)
+    strides = tuple(strides) if strides else (1,) * len(kernel)
+    dilation = tuple(dilation) if dilation else (1,) * len(kernel)
+    if len(kernel) == 3:
+        from occdepth_tpu.ops.conv3d_fast import Conv3DFast
+
+        return Conv3DFast(
+            features,
+            kernel,
+            strides=strides,
+            padding=pad,
+            kernel_dilation=dilation,
+            use_bias=use_bias,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
     return nn.Conv(
         features,
         kernel,
-        strides=tuple(strides) if strides else (1,) * len(kernel),
+        strides=strides,
         padding=pad,
         use_bias=use_bias,
-        kernel_dilation=tuple(dilation) if dilation else (1,) * len(kernel),
+        kernel_dilation=dilation,
         dtype=dtype,
         param_dtype=jnp.float32,
         name=name,

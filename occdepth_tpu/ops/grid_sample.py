@@ -74,6 +74,39 @@ def grid_sample_2d(
     return out.astype(img.dtype)
 
 
+def grid_sample_3d_ones(
+    vol_shape,
+    grid: jnp.ndarray,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Trilinear zero-padded sample of an all-ones volume — analytically.
+
+    sample(ones)[p] = sum over the 8 corners of w_corner * in_bounds(corner),
+    so no gather is needed.  Bit-equivalent to
+    `grid_sample_3d(jnp.ones(vol_shape + (1,)), grid, "zeros", ac)[..., 0]`
+    (used for the OAD multi-cam mean mask, reference flosp_depth.py:578-586).
+    """
+    D, H, W = vol_shape
+    ix = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
+    iy = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
+    iz = _unnormalize(grid[..., 2].astype(jnp.float32), D, align_corners)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    wx = ix - x0
+    wy = iy - y0
+    wz = iz - z0
+
+    def axis_w(c0, w, size):
+        lo_ok = ((c0 >= 0) & (c0 <= size - 1)).astype(jnp.float32)
+        hi_ok = ((c0 + 1 >= 0) & (c0 + 1 <= size - 1)).astype(jnp.float32)
+        return (1.0 - w) * lo_ok + w * hi_ok
+
+    return (
+        axis_w(x0, wx, W) * axis_w(y0, wy, H) * axis_w(z0, wz, D)
+    )
+
+
 def grid_sample_3d(
     vol: jnp.ndarray,
     grid: jnp.ndarray,

@@ -23,13 +23,33 @@ from occdepth_tpu.models.unet3d import UNet3DKitti
 from occdepth_tpu.utils.compilation_cache import enable
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _scalarize(out):
+    """Reduce any output pytree to one fp32 scalar (forces full compute)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+
+def timeit(fn, *args, iters=10, vary=0):
+    """Times fn with a per-iteration host fetch of a scalar: the axon proxy
+    acks async dispatches without completion and replays identical
+    executions, so honest timing needs distinct inputs AND a synchronous
+    round trip per step."""
+    variants = []
+    for i in range(min(iters, 8)):
+        a = list(args)
+        x = a[vary]
+        if isinstance(x, dict):
+            x = {k: (v + (i + 1) * 1e-3 if v.dtype.kind == "f" else v)
+                 for k, v in x.items()}
+        else:
+            x = x + (i + 1) * 1e-3
+        a[vary] = x
+        variants.append(jax.device_put(tuple(a)))
+    g = jax.jit(lambda *a: _scalarize(fn(*a)))
+    float(g(*variants[0]))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        float(g(*variants[i % len(variants)]))
     return (time.perf_counter() - t0) / iters * 1000  # ms
 
 
@@ -39,6 +59,16 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
     enable()
+
+    # measure the tunnel round-trip so component times can be interpreted
+    triv = jax.jit(lambda x: x + 1.0)
+    x = jax.device_put(jnp.float32(0))
+    float(triv(x))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        x = triv(x)
+        float(x)
+    print(f"dispatch+fetch RTT:  {(time.perf_counter() - t0) / 10 * 1000:8.2f} ms")
 
     cfg = OccDepthConfig(
         dataset="kitti", use_stereo_depth_gt=False,
@@ -54,7 +84,7 @@ def main():
         rng, batch, train=False
     )
     full = jax.jit(lambda v, b: model.apply(v, b, train=False)["ssc_logit"])
-    t_full = timeit(full, variables, batch, iters=args.iters)
+    t_full = timeit(full, variables, batch, iters=args.iters, vary=1)
     print(f"full forward:        {t_full:8.2f} ms")
 
     # 2D backbone (x2 views)
@@ -63,7 +93,7 @@ def main():
     img = jnp.asarray(batch["img"].reshape(2, 370, 1220, 3), dtype)
     v2d = jax.jit(unet2d.init, static_argnames=("train",))(rng, img, train=False)
     f2d = jax.jit(lambda v, x: unet2d.apply(v, x, train=False))
-    t_2d = timeit(f2d, v2d, img, iters=args.iters)
+    t_2d = timeit(f2d, v2d, img, iters=args.iters, vary=1)
     print(f"2D backbone (2 views): {t_2d:6.2f} ms")
 
     feats = f2d(v2d, img)
@@ -78,7 +108,7 @@ def main():
     sfa = jax.jit(lambda lf, p, f: sfa_lift(
         lf, p, f, cfg.project_res, cfg.scene_dims(cfg.project_scale), "kitti"
     ))
-    t_sfa = timeit(sfa, lift_feats, pix, fov, iters=args.iters)
+    t_sfa = timeit(sfa, lift_feats, pix, fov, iters=args.iters, vary=0)
     print(f"SFA lift (4 scales):   {t_sfa:6.2f} ms")
 
     # OAD depth branch
@@ -93,7 +123,7 @@ def main():
     ida = jnp.asarray(batch["ida_mats"])
     vfd = fd.init(rng, img_feat, cam_k, t_v2c, ida, train=False)
     ffd = jax.jit(lambda v, *a: fd.apply(v, *a, train=False))
-    t_fd = timeit(ffd, vfd, img_feat, cam_k, t_v2c, ida, iters=args.iters)
+    t_fd = timeit(ffd, vfd, img_feat, cam_k, t_v2c, ida, iters=args.iters, vary=1)
     print(f"OAD depth branch:      {t_fd:6.2f} ms")
 
     # 3D UNet
@@ -108,7 +138,7 @@ def main():
     )
     v3d = jax.jit(net3d.init, static_argnames=("train",))(rng, x3d, train=False)
     f3d = jax.jit(lambda v, x: net3d.apply(v, x, train=False)["ssc_logit"])
-    t_3d = timeit(f3d, v3d, x3d, iters=args.iters)
+    t_3d = timeit(f3d, v3d, x3d, iters=args.iters, vary=1)
     print(f"3D UNet+CRP+heads:     {t_3d:6.2f} ms")
 
     print(f"sum of parts:          {t_2d + t_sfa + t_fd + t_3d:6.2f} ms")
