@@ -16,7 +16,10 @@ import jax.numpy as jnp
 from occdepth_tpu.config import FlospDepthConfig
 from occdepth_tpu.geometry.frustum import FrustumGridSpec, frustum_grid
 from occdepth_tpu.models.layers import BatchNorm, torch_conv
-from occdepth_tpu.ops.grid_sample import grid_sample_3d, grid_sample_3d_ones
+from occdepth_tpu.ops.grid_sample import (
+    frustum_sample_lanes,
+    grid_sample_3d_ones,
+)
 
 
 class BasicBlock(nn.Module):
@@ -137,8 +140,8 @@ class FlospDepth(nn.Module):
         )  # (B*n_cams, h, w, D)
         depth = depth.reshape(B, n_cams, h, w, conf.depth_channels)
 
-        # frustum volume layout for sampling: (D, h, w, 1)
-        vol = depth.transpose(0, 1, 4, 2, 3)[..., None]  # (B, V, D, h, w, 1)
+        # frustum volume layout for sampling: (D, h, w)
+        vol = depth.transpose(0, 1, 4, 2, 3)  # (B, V, D, h, w)
 
         # intrinsics as 3x4 cam_to_img
         cam_to_img = jnp.concatenate(
@@ -161,8 +164,11 @@ class FlospDepth(nn.Module):
             ida_mats.astype(jnp.float32),
         )  # (B, V, X, Y, Z, 3)
 
-        sample = lambda v, g: grid_sample_3d(v, g, "zeros", align_corners=False)
-        voxel_feats = jax.vmap(jax.vmap(sample))(vol, grids)  # (B, V, X, Y, Z, 1)
+        # scalar-volume trilinear resample with depth bins in the lane dim
+        # (exact grid_sample semantics; see frustum_sample_lanes)
+        sample = lambda v, g: frustum_sample_lanes(v, g, align_corners=False)
+        voxel_feats = jax.vmap(jax.vmap(sample))(vol, grids)[..., None]
+        # (B, V, X, Y, Z, 1)
 
         if n_cams == 1:
             agg = voxel_feats[:, 0]

@@ -74,6 +74,64 @@ def grid_sample_2d(
     return out.astype(img.dtype)
 
 
+def frustum_sample_lanes(
+    vol: jnp.ndarray,  # (D, H, W) scalar frustum volume
+    grid: jnp.ndarray,  # (..., 3) normalized (x->W, y->H, z->D)
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Trilinear zero-padded sample of a SCALAR volume, depth in lanes.
+
+    Bit-equivalent to `grid_sample_3d(vol[..., None], grid, "zeros")[..., 0]`
+    but restructured for TPU: the (H, W) bilinear part gathers 4 rows of a
+    (H*W, D) table (D in the 128-lane dimension), and the D-linear part is
+    a one-hot weighted lane reduction — no scalar-row gathers.  This is the
+    hot resample of the OAD branch (frustum depth volume -> voxel grid).
+    """
+    D, H, W = vol.shape
+    table = vol.transpose(1, 2, 0).reshape(H * W, D)
+
+    ix = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
+    iy = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
+    iz = _unnormalize(grid[..., 2].astype(jnp.float32), D, align_corners)
+    shape = ix.shape
+    ix = ix.reshape(-1)
+    iy = iy.reshape(-1)
+    iz = iz.reshape(-1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    wx = ix - x0
+    wy = iy - y0
+    wz = iz - z0
+
+    acc = None
+    for dy, wyc in ((0, 1.0 - wy), (1, wy)):
+        for dx, wxc in ((0, 1.0 - wx), (1, wx)):
+            cx = x0 + dx
+            cy = y0 + dy
+            valid = (cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
+            w = jnp.where(valid, wxc * wyc, 0.0)
+            gx = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
+            gy = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
+            rows = jnp.take(table, gy * W + gx, axis=0)  # (N, D)
+            contrib = rows * w[:, None]
+            acc = contrib if acc is None else acc + contrib
+
+    # linear interpolation over the lane (depth-bin) dimension via a
+    # two-nonzero selection mask
+    d_iota = jnp.arange(D, dtype=jnp.float32)[None, :]
+    z0c = z0[:, None]
+    lo_ok = ((z0c >= 0) & (z0c <= D - 1)).astype(jnp.float32)
+    hi_ok = ((z0c + 1 >= 0) & (z0c + 1 <= D - 1)).astype(jnp.float32)
+    sel = (
+        (d_iota == jnp.clip(z0c, 0, D - 1)) * (1.0 - wz[:, None]) * lo_ok
+        + (d_iota == jnp.clip(z0c + 1, 0, D - 1)) * wz[:, None] * hi_ok
+    )
+    out = (acc * sel).sum(axis=-1)
+    return out.reshape(shape)
+
+
 def grid_sample_3d_ones(
     vol_shape,
     grid: jnp.ndarray,
