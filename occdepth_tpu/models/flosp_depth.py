@@ -140,8 +140,10 @@ class FlospDepth(nn.Module):
         )  # (B*n_cams, h, w, D)
         depth = depth.reshape(B, n_cams, h, w, conf.depth_channels)
 
-        # frustum volume layout for sampling: (D, h, w)
-        vol = depth.transpose(0, 1, 4, 2, 3)  # (B, V, D, h, w)
+        # frustum volume layout for sampling: (D, h, w); gather traffic runs
+        # in the compute dtype (the sampler interpolates in fp32)
+        vol_dtype = self.dtype or jnp.float32
+        vol = depth.astype(vol_dtype).transpose(0, 1, 4, 2, 3)  # (B,V,D,h,w)
 
         # intrinsics as 3x4 cam_to_img
         cam_to_img = jnp.concatenate(

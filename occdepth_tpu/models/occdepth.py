@@ -123,8 +123,10 @@ class OccDepthModel(nn.Module):
                 )
 
         # ---- FLoSP lifting (SFA) ----
+        # gathers run in the compute dtype (bf16 halves the gather traffic);
+        # the cosine fusion upcasts to fp32 internally
         lift_feats = {
-            f"1_{s}": x_rgb[f"1_{s}"].astype(jnp.float32)
+            f"1_{s}": x_rgb[f"1_{s}"].astype(dtype)
             for s in cfg.project_res
         }
         scene_dims = cfg.scene_dims(cfg.project_scale)

@@ -31,8 +31,8 @@ def flosp_gather(
     H, W, C = x2d.shape
     flat = x2d.reshape(H * W, C)
     flat = jnp.concatenate([flat, jnp.zeros((1, C), flat.dtype)], axis=0)
-    gathered = jnp.take(flat, indices, axis=0)  # (N, P, C)
-    total = gathered.sum(axis=1)  # (N, C)
+    gathered = jnp.take(flat, indices, axis=0)  # (N, P, C) in input dtype
+    total = gathered.astype(jnp.float32).sum(axis=1)  # (N, C)
     denom = jnp.where(counts > 0, counts, 1.0)[:, None]
     return jnp.where(counts[:, None] > 0, total / denom, 0.0)
 
