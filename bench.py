@@ -6,6 +6,13 @@ cascade heads) at the reference's full resolution: 370x1220 stereo pairs,
 256x256x32 output grid (multicam_flospdepth_crp_stereodepth_cascadecls
 config), bf16 compute.
 
+Measurement methodology (the axon proxy backend acks async dispatches
+before completion and replays bit-identical executions, so naive timing is
+meaningless): every iteration uses a distinct pre-uploaded input batch and
+synchronously fetches a scalar reduction of the logits, forcing full
+execution; the per-iteration tunnel round trip (~30 ms) is INCLUDED, making
+the reported number conservative.
+
 Baseline: the reference publishes no fps numbers (SURVEY.md §6).  We assume
 2.0 frames/sec for the reference implementation on its RTX 2080 Ti training
 GPU (OccDepth-class SSC models run ~0.4-0.6 s/frame on that class of GPU);
@@ -21,50 +28,61 @@ import time
 BASELINE_2080TI_FPS = 2.0
 
 
-def main():
+def _throughput(batch_size: int, n_iters: int = 10) -> float:
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
+    from occdepth_tpu.config import OccDepthConfig
+    from occdepth_tpu.data.batch import make_synthetic_batch
+    from occdepth_tpu.models import OccDepthModel
+
+    cfg = OccDepthConfig(
+        dataset="kitti",
+        use_stereo_depth_gt=False,  # pure inference: no depth distillation
+        compute_dtype="bfloat16",
+    )
+    model = OccDepthModel(cfg=cfg)
+    batch = make_synthetic_batch(cfg, batch_size=batch_size, with_labels=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=False
+    )
+    fn = jax.jit(
+        lambda v, b: jnp.sum(
+            model.apply(v, b, train=False)["ssc_logit"].astype(jnp.float32)
+        )
+    )
+    variables = jax.device_put(variables)
+    rs = np.random.RandomState(0)
+    variants = []
+    for _ in range(n_iters):
+        b = dict(batch)
+        b["img"] = batch["img"] + rs.randn(*batch["img"].shape).astype(
+            np.float32
+        ) * 0.01
+        variants.append(jax.device_put(b))
+
+    float(fn(variables, variants[0]))  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        float(fn(variables, variants[i]))  # sync round trip each step
+    dt = time.perf_counter() - t0
+    return n_iters * batch_size / dt
+
+
+def main():
     from occdepth_tpu.utils.compilation_cache import enable
 
     enable()
-
-    from __graft_entry__ import entry
-
-    fn, (variables, batch) = entry()
-    jfn = jax.jit(fn)
-
-    # Upload inputs once: projection tables/calibration are per-sequence
-    # constants in deployment, and images stream asynchronously; measuring
-    # device throughput must not count re-uploading them every step.
-    # NOTE: inputs must DIFFER between iterations — the axon proxy backend
-    # replays cached results for bit-identical executions, which would fake
-    # the measurement.
-    variables = jax.device_put(variables)
-    n_distinct = 8
-    batches = []
-    for i in range(n_distinct):
-        b = dict(batch)
-        b["img"] = batch["img"] + (i + 1) * 1e-3
-        batches.append(jax.device_put(b))
-
-    # warmup + compile
-    out = jfn(variables, batches[0])
-    jax.block_until_ready(out)
-
-    n_iters = 24
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = jfn(variables, batches[i % n_distinct])
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    batch_frames = batch["img"].shape[0]
-    fps = n_iters * batch_frames / dt
+    best = 0.0
+    for bs in (1, 4):
+        fps = _throughput(bs)
+        best = max(best, fps)
     print(json.dumps({
         "metric": "semantickitti_stereo_inference_fps_per_chip",
-        "value": round(fps, 3),
+        "value": round(best, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / BASELINE_2080TI_FPS, 3),
+        "vs_baseline": round(best / BASELINE_2080TI_FPS, 3),
     }))
 
 

@@ -136,10 +136,12 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from occdepth_tpu.ops.conv3d_fast import ConvTranspose3DFast
+
         # lax padding (k-1-p, k-1-p+op) = (1, 2) doubles each spatial dim
-        x = nn.ConvTranspose(
+        x = ConvTranspose3DFast(
             self.out_channels, (3, 3, 3), strides=(2, 2, 2),
-            padding=((1, 2), (1, 2), (1, 2)), transpose_kernel=True,
+            padding=((1, 2), (1, 2), (1, 2)),
             dtype=self.dtype, param_dtype=jnp.float32, name="conv",
         )(x)
         x = BatchNorm(self.bn_momentum, dtype=self.dtype, name="bn")(x, train)
@@ -155,9 +157,11 @@ class Convblock3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.ConvTranspose(
+        from occdepth_tpu.ops.conv3d_fast import ConvTranspose3DFast
+
+        x = ConvTranspose3DFast(
             self.out_channels, (3, 3, 3), strides=(1, 1, 1),
-            padding=((1, 1), (1, 1), (1, 1)), transpose_kernel=True,
+            padding=((1, 1), (1, 1), (1, 1)),
             dtype=self.dtype, param_dtype=jnp.float32, name="conv",
         )(x)
         x = BatchNorm(self.bn_momentum, dtype=self.dtype, name="bn")(x, train)

@@ -53,6 +53,77 @@ def conv3d_decomposed(
     return out.reshape(B, out_x, h, w, O)
 
 
+def conv_transpose3d_decomposed(
+    x: jnp.ndarray,  # (B, X, Y, Z, I)
+    kernel: jnp.ndarray,  # (kx, ky, kz, O, I) — flax transpose_kernel layout
+    strides: Tuple[int, int, int],
+    padding: Tuple[Tuple[int, int], ...],  # conv_transpose padding
+) -> jnp.ndarray:
+    """ConvTranspose3d as zero-interleave + decomposed stride-1 conv.
+
+    Equivalent to flax nn.ConvTranspose(transpose_kernel=True): dilate the
+    input by the stride, pad by the transpose padding, and run a plain
+    conv with the spatially-flipped kernel (in/out swapped) — which then
+    uses the fast 2D decomposition instead of XLA's slow native 3D path.
+    """
+    B, X, Y, Z, I = x.shape
+    kx, ky, kz, O, _ = kernel.shape
+    sx, sy, sz = strides
+
+    def dilate(a, axis, s, lo, hi):
+        if s == 1:
+            pads = [(0, 0, 0)] * a.ndim
+            pads[axis] = (lo, hi, 0)
+            return lax.pad(a, jnp.zeros((), a.dtype), pads)
+        pads = [(0, 0, 0)] * a.ndim
+        pads[axis] = (lo, hi, s - 1)
+        return lax.pad(a, jnp.zeros((), a.dtype), pads)
+
+    (px0, px1), (py0, py1), (pz0, pz1) = padding
+    xd = dilate(x, 1, sx, px0, px1)
+    xd = dilate(xd, 2, sy, py0, py1)
+    xd = dilate(xd, 3, sz, pz0, pz1)
+
+    k_conv = jnp.flip(kernel, (0, 1, 2)).transpose(0, 1, 2, 4, 3)  # (k,I,O)
+    return conv3d_decomposed(
+        xd, k_conv, (1, 1, 1), ((0, 0), (0, 0), (0, 0)), (1, 1, 1)
+    )
+
+
+class ConvTranspose3DFast(nn.Module):
+    """nn.ConvTranspose(transpose_kernel=True)-compatible fast version."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = ((0, 0), (0, 0), (0, 0))
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        I = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            self.kernel_size + (self.features, I),
+            self.param_dtype,
+        )
+        dtype = self.dtype or x.dtype
+        y = conv_transpose3d_decomposed(
+            x.astype(dtype), kernel.astype(dtype),
+            tuple(self.strides), tuple(self.padding),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
 class Conv3DFast(nn.Module):
     """nn.Conv-compatible 3D conv using the 2D decomposition."""
 

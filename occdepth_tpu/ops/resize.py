@@ -14,6 +14,22 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def _linspace_weights_np(in_size: int, out_size: int, align_corners: bool):
+    """NumPy twin of _linspace_weights (for building constant matrices)."""
+    out = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        src = (out * (in_size - 1) / (out_size - 1) if out_size > 1
+               else np.zeros((1,), np.float32))
+    else:
+        scale = in_size / out_size
+        src = np.maximum((out + 0.5) * scale - 0.5, 0.0)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    w_hi = (src - lo).astype(np.float32)
+    return lo, hi, w_hi
 
 
 def _linspace_weights(in_size: int, out_size: int, align_corners: bool):
@@ -33,6 +49,20 @@ def _linspace_weights(in_size: int, out_size: int, align_corners: bool):
     return lo, hi, w_hi
 
 
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool):
+    """Dense (out, in) interpolation matrix — resize as an MXU matmul.
+
+    TPU gathers are slow; a dense matmul with 2 nonzeros per row runs on
+    the MXU and XLA fuses the two axis applications.
+    """
+    lo, hi, w_hi = _linspace_weights_np(in_size, out_size, align_corners)
+    M = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    M[rows, lo] += 1.0 - w_hi
+    M[rows, hi] += w_hi
+    return jnp.asarray(M)
+
+
 def resize_bilinear(
     x: jnp.ndarray, size: Tuple[int, int], align_corners: bool
 ) -> jnp.ndarray:
@@ -41,17 +71,14 @@ def resize_bilinear(
     H_in, W_in = x.shape[-3], x.shape[-2]
     if (H_in, W_in) == (H_out, W_out):
         return x
-    ylo, yhi, wy = _linspace_weights(H_in, H_out, align_corners)
-    xlo, xhi, wx = _linspace_weights(W_in, W_out, align_corners)
-
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    top = jnp.take(xf, ylo, axis=-3)
-    bot = jnp.take(xf, yhi, axis=-3)
-    rows = top * (1.0 - wy)[..., :, None, None] + bot * wy[..., :, None, None]
-    left = jnp.take(rows, xlo, axis=-2)
-    right = jnp.take(rows, xhi, axis=-2)
-    out = left * (1.0 - wx)[..., :, None] + right * wx[..., :, None]
+    My = _interp_matrix(H_in, H_out, align_corners)  # (H_out, H_in)
+    Mx = _interp_matrix(W_in, W_out, align_corners)  # (W_out, W_in)
+    out = jnp.einsum("oh,...hwc->...owc", My, xf,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("pw,...hwc->...hpc", Mx, out,
+                     preferred_element_type=jnp.float32)
     return out.astype(dtype)
 
 

@@ -100,7 +100,7 @@ def main():
 
     # SFA lift
     lift_feats = {
-        k: jnp.asarray(v, jnp.float32)[None].reshape((1, 2) + v.shape[1:])
+        k: jnp.asarray(v, dtype)[None].reshape((1, 2) + v.shape[1:])
         for k, v in feats.items() if k in ("1_1", "1_2", "1_4", "1_8")
     }
     pix = jnp.asarray(batch["projected_pix"])
