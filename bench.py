@@ -75,7 +75,7 @@ def main():
 
     enable()
     best = 0.0
-    for bs in (1, 4):
+    for bs in (1, 4, 8):
         fps = _throughput(bs)
         best = max(best, fps)
     print(json.dumps({

@@ -124,7 +124,10 @@ class OccDepthConfig:
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "bfloat16"  # dtype for conv/matmul compute
     param_dtype: str = "float32"
-    use_pallas: bool = True  # use Pallas kernels for the hot ops when on TPU
+    # Pallas kernels for CRP matmul + stereo fusion; measured ~8 ms slower
+    # than XLA's fused lowering for these shapes on v5e, so off by default
+    # (kept as a tested capability / for other shapes).
+    use_pallas: bool = False
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     remat_backbone: bool = False  # jax.checkpoint the per-view 2D backbone
