@@ -63,6 +63,11 @@ def main():
                 record["target"] = np.asarray(batch["target"][i])
             if "vox_origin" in batch:
                 record["vox_origin"] = np.asarray(batch["vox_origin"][i])
+            if cfg.dataset == "NYU":
+                # NYU visualizers consume the camera pose (world->cam inv)
+                record["cam_pose"] = np.linalg.inv(
+                    np.asarray(batch["T_velo_2_cam"][i, 0], np.float64)
+                )
             out_path = os.path.join(
                 args.output_dir, f"{sequences[i]}_{frame_id}.pkl"
             )
