@@ -42,17 +42,19 @@ def main():
     train_step = make_train_step(cfg, tx)
 
     state, logs, *_ = train_step(state, sharded, jnp.zeros(()))
-    jax.block_until_ready(logs["loss"])
+    float(logs["loss"])  # force completion (block_until_ready lies via axon)
 
+    # each step consumes the previous state, so fetching the final loss
+    # inside the timed region forces the whole chain to really execute
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, logs, *_ = train_step(state, sharded, jnp.zeros(()))
-    jax.block_until_ready(logs["loss"])
+    loss = float(logs["loss"])
     dt = (time.perf_counter() - t0) / args.iters
 
     print(
         f"train step: {dt * 1000:.1f} ms  "
-        f"({args.batch / dt:.2f} frames/sec, loss={float(logs['loss']):.3f})"
+        f"({args.batch / dt:.2f} frames/sec, loss={loss:.3f})"
     )
 
 
