@@ -33,9 +33,9 @@ def _downsampled_gt_bins(
     idx = (mind - (d_bound[0] - d_bound[2])) / d_bound[2]
     idx = jnp.where((idx < depth_channels + 1) & (idx >= 0.0), idx, 0.0)
     idx = idx.astype(jnp.int32).reshape(-1)
-    onehot = jnp.zeros((idx.shape[0], depth_channels + 1), jnp.float32)
-    onehot = onehot.at[jnp.arange(idx.shape[0]), idx].set(1.0)
-    return onehot[:, 1:]  # drop bin 0 == "no depth"
+    # comparison-based one-hot (scatter-free: TPU scatters are very slow)
+    bins = jnp.arange(1, depth_channels + 1, dtype=jnp.int32)[None, :]
+    return (idx[:, None] == bins).astype(jnp.float32)
 
 
 def depth_cls_loss(

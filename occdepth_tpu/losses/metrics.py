@@ -33,8 +33,8 @@ def confusion_update(
         conf: (C, C) int32 with conf[t, p] counts.
     """
     invalid = y_true == 255
-    t = jnp.where(invalid, 0, y_true).astype(jnp.int32)
-    p = jnp.where(invalid, 0, y_pred).astype(jnp.int32)
+    t = jnp.where(invalid, 0, y_true).astype(jnp.int32).reshape(-1)
+    p = jnp.where(invalid, 0, y_pred).astype(jnp.int32).reshape(-1)
 
     bt = t > 0
     bp = p > 0
@@ -42,9 +42,16 @@ def confusion_update(
         (bt & bp).sum(), (~bt & bp).sum(), (bt & ~bp).sum()
     ]).astype(jnp.int32)
 
-    conf = jnp.bincount(
-        (t * n_classes + p).reshape(-1), length=n_classes * n_classes
-    ).reshape(n_classes, n_classes).astype(jnp.int32)
+    # one-hot matmul instead of bincount: a 2M-voxel bincount is a scatter
+    # with ~5000x index collisions, which serializes on TPU (measured ~27 s
+    # inside the train step); the (C, M) x (M, C) matmul runs on the MXU.
+    # fp32 is exact for counts < 2^24 (one batch is ~2M voxels).
+    classes = jnp.arange(n_classes, dtype=jnp.int32)
+    t_oh = (t[:, None] == classes[None, :]).astype(jnp.float32)
+    p_oh = (p[:, None] == classes[None, :]).astype(jnp.float32)
+    conf = jnp.einsum(
+        "mc,md->cd", t_oh, p_oh, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
     return completion, conf
 
 
