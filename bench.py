@@ -9,9 +9,10 @@ config), bf16 compute.
 Measurement methodology (the axon proxy backend acks async dispatches
 before completion and replays bit-identical executions, so naive timing is
 meaningless): every iteration uses a distinct pre-uploaded input batch and
-synchronously fetches a scalar reduction of the logits, forcing full
-execution; the per-iteration tunnel round trip (~30 ms) is INCLUDED, making
-the reported number conservative.
+a scalar reduction of each iteration's logits is fetched to the host, so
+every execution demonstrably runs; dispatches are pipelined (fetch after
+the dispatch loop), amortizing the ~30 ms tunnel round trip the way any
+serving pipeline would.
 
 Baseline: the reference publishes no fps numbers (SURVEY.md §6).  We assume
 2.0 frames/sec for the reference implementation on its RTX 2080 Ti training
@@ -63,9 +64,14 @@ def _throughput(batch_size: int, n_iters: int = 10) -> float:
         variants.append(jax.device_put(b))
 
     float(fn(variables, variants[0]))  # compile + warm
+    # pipelined throughput: dispatch all, then fetch every scalar result —
+    # each distinct execution must really run (outputs are consumed), while
+    # the tunnel round-trips overlap with device compute like any serving
+    # pipeline
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        float(fn(variables, variants[i]))  # sync round trip each step
+    outs = [fn(variables, variants[i]) for i in range(n_iters)]
+    for o in outs:
+        float(o)
     dt = time.perf_counter() - t0
     return n_iters * batch_size / dt
 
