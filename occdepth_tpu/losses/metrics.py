@@ -45,13 +45,22 @@ def confusion_update(
     # one-hot matmul instead of bincount: a 2M-voxel bincount is a scatter
     # with ~5000x index collisions, which serializes on TPU (measured ~27 s
     # inside the train step); the (C, M) x (M, C) matmul runs on the MXU.
-    # fp32 is exact for counts < 2^24 (one batch is ~2M voxels).
+    # fp32 is exact only below 2^24 counts, so reduce in <=2M-voxel chunks
+    # and accumulate in int32 (a full KITTI frame is exactly 2M voxels).
     classes = jnp.arange(n_classes, dtype=jnp.int32)
-    t_oh = (t[:, None] == classes[None, :]).astype(jnp.float32)
-    p_oh = (p[:, None] == classes[None, :]).astype(jnp.float32)
-    conf = jnp.einsum(
-        "mc,md->cd", t_oh, p_oh, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
+    chunk = 1 << 21
+    pad = (-t.size) % chunk
+    tc = jnp.pad(t, (0, pad), constant_values=-1).reshape(-1, chunk)
+    pc = jnp.pad(p, (0, pad), constant_values=-2).reshape(-1, chunk)
+
+    def chunk_conf(tt, pp):
+        t_oh = (tt[:, None] == classes[None, :]).astype(jnp.float32)
+        p_oh = (pp[:, None] == classes[None, :]).astype(jnp.float32)
+        return jnp.einsum(
+            "mc,md->cd", t_oh, p_oh, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+
+    conf = jax.vmap(chunk_conf)(tc, pc).sum(axis=0, dtype=jnp.int32)
     return completion, conf
 
 
