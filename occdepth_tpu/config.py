@@ -217,7 +217,20 @@ class OccDepthConfig:
 
 
 def _coerce(value: Any, field_type: Any) -> Any:
-    if field_type in (Tuple[int, int, int], Tuple[int, ...], Tuple[str, ...], Tuple[int, int]):
+    """Coerce a YAML value to the dataclass field's type.
+
+    YAML 1.1 parses dot-less scientific notation ('2e-4') as a *string*,
+    so numeric fields must be coerced explicitly or they reach optax/jax
+    as strings (found by driving train.py with the shipped configs).
+    """
+    # `from __future__ import annotations` makes field.type a string
+    if field_type in (float, "float"):
+        return float(value)
+    if field_type in (int, "int"):
+        return int(value)
+    if field_type in (bool, "bool") and isinstance(value, str):
+        return value.strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(value, list):
         return tuple(value)
     return value
 
@@ -237,9 +250,7 @@ def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> OccDep
     for key, value in raw.items():
         if key not in fields:
             continue  # tolerate unknown keys, like hydra's flat schema
-        if isinstance(value, list):
-            value = tuple(value)
-        kwargs[key] = value
+        kwargs[key] = _coerce(value, fields[key].type)
     return OccDepthConfig(**kwargs)
 
 

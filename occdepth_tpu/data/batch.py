@@ -12,8 +12,9 @@ static shapes, so a batch here is a plain dict of stacked numpy/jnp arrays:
     ida_mats:             (B, V, 4, 4) float32
     target:               (B, X, Y, Z) int32 (255 = invalid)   [train/val]
     CP_mega_matrices:     (B, n_rel, N8, M8) uint8             [if CRP]
-    frustums_masks:       (B, F, X, Y, Z) bool                 [if fp loss]
-    frustums_class_dists: (B, F, C) float32
+    frustums_class_dists: (B, F, C) float32                    [if fp loss]
+        (frustum voxel masks are rebuilt on device in the fp loss —
+        losses/fp_device.py — so they never cross the host boundary)
     gt_depth:             (B, Vd, H, W) float32                [if depth sup]
     vox_origin:           (B, 3) float32                       [NYU/tartanair]
     virtual_bf:           (B,) float32                         [NYU]
@@ -172,12 +173,39 @@ def make_synthetic_batch(
                 ]
             )
         if cfg.fp_loss:
-            F = cfg.frustum_size ** 2
-            batch["frustums_masks"] = rs.rand(
-                batch_size, F, X, Y, Z) > 0.8
-            batch["frustums_class_dists"] = rs.randint(
-                0, 50, size=(batch_size, F, cfg.n_classes)
-            ).astype(np.float32)
+            # geometry-consistent histograms at output scale; the voxel
+            # masks themselves are rebuilt on device inside the fp loss
+            # (losses/fp_device.py) from the same calib matrices
+            from occdepth_tpu.geometry.frustums_mask import (
+                compute_frustum_class_dists,
+            )
+
+            exts = [default_extrinsics(cfg, v) for v in range(V)]
+            if cfg.dataset == "NYU" and cfg.use_depth_gt:
+                from occdepth_tpu.data.nyu import VIRTUAL_BASELINE
+
+                shift = np.eye(4)
+                shift[0, 3] = -VIRTUAL_BASELINE
+                exts.append(shift @ exts[0])
+            po, zo = [], []
+            for T in exts:
+                p, _, z = vox2pix(
+                    T, cam_k, vox_origin,
+                    cfg.voxel_size_meters * cfg.output_scale,
+                    W, H, cfg.scene_size_meters, cfg.pattern_id,
+                )
+                po.append(p)
+                zo.append(z)
+            pix_o = np.stack(po).astype(np.int64)
+            pz_o = np.stack(zo).astype(np.float32)
+            dists = np.stack([
+                compute_frustum_class_dists(
+                    pix_o, pz_o, t, W, H, cfg.dataset,
+                    cfg.n_classes, cfg.frustum_size,
+                )
+                for t in batch["target"]
+            ])
+            batch["frustums_class_dists"] = dists.astype(np.float32)
         if cfg.occluded_cls:
             batch["occluded"] = (rs.rand(batch_size, X, Y, Z) > 0.5).astype(
                 np.int32

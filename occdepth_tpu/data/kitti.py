@@ -24,7 +24,7 @@ from occdepth_tpu.data.augment import (
     normalize_rgb,
     strong_img_aug,
 )
-from occdepth_tpu.geometry.frustums_mask import compute_local_frustums
+from occdepth_tpu.geometry.frustums_mask import compute_frustum_class_dists
 from occdepth_tpu.geometry.projection import vox2pix
 from occdepth_tpu.geometry.relations import compute_cp_mega_matrix
 
@@ -61,6 +61,7 @@ class KittiDataset:
         self.fliplr = fliplr
         self.color_jitter_params = color_jitter_params if split == "train" else None
         self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self.n_views = 2 if cfg.multi_view_mode else 1
 
         seqs = {
@@ -89,6 +90,12 @@ class KittiDataset:
 
     def __len__(self):
         return len(self.scans)
+
+    def reseed(self, epoch: int):
+        """Deterministic per-epoch augmentation RNG: a resumed run
+        replays the same jitter/flip draws as an uninterrupted one
+        (honors the `deterministic` config key)."""
+        self.rng = np.random.RandomState(self.seed + 100003 * (epoch + 1))
 
     def _geometry(self, seq: str, cam_k, T_velo_2_cam):
         """Per-sequence cached vox2pix at output + project scales."""
@@ -199,20 +206,22 @@ class KittiDataset:
         sample["img"] = np.stack(imgs)
         sample["ida_mats"] = np.stack(idas)
 
-        if do_flip:
-            pix_p = flip_projected_pix(pix_p, IMG_W)
-            pix_o = flip_projected_pix(pix_o, IMG_W)
-        sample["projected_pix"] = pix_p
-        sample["fov_mask"] = fov_p
-
-        # local frustums for the fp loss
+        # fp-loss class histograms from the UNFLIPPED projections — the
+        # reference computes frustums before image aug (kitti_dataset.py:
+        # 316-333 vs :367-412); the voxel masks are rebuilt on device
+        # inside the loss (losses/fp_device.py), so only this tiny table
+        # ships with the batch.
         if self.split != "test" and cfg.fp_loss:
-            masks, dists = compute_local_frustums(
+            dists = compute_frustum_class_dists(
                 pix_o, pz_o, target, IMG_W, IMG_H, "kitti",
                 cfg.n_classes, cfg.frustum_size,
             )
-            sample["frustums_masks"] = masks
             sample["frustums_class_dists"] = dists.astype(np.float32)
+
+        if do_flip:
+            pix_p = flip_projected_pix(pix_p, IMG_W)
+        sample["projected_pix"] = pix_p
+        sample["fov_mask"] = fov_p
 
         if gt_depth is not None:
             sample["gt_depth"] = np.stack(gt_depth).astype(np.float32)

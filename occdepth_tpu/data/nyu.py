@@ -23,7 +23,7 @@ from occdepth_tpu.data.augment import (
     normalize_rgb,
     strong_img_aug,
 )
-from occdepth_tpu.geometry.frustums_mask import compute_local_frustums
+from occdepth_tpu.geometry.frustums_mask import compute_frustum_class_dists
 from occdepth_tpu.geometry.projection import vox2pix
 from occdepth_tpu.geometry.relations import compute_cp_mega_matrix
 
@@ -62,10 +62,17 @@ class NYUDataset:
             color_jitter_params if split == "train" else None
         )
         self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self.scan_names = sorted(glob.glob(os.path.join(self.root, "*.bin")))
 
     def __len__(self):
         return len(self.scan_names)
+
+    def reseed(self, epoch: int):
+        """Deterministic per-epoch augmentation RNG: a resumed run
+        replays the same jitter/flip draws as an uninterrupted one
+        (honors the `deterministic` config key)."""
+        self.rng = np.random.RandomState(self.seed + 100003 * (epoch + 1))
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         from PIL import Image
@@ -114,11 +121,12 @@ class NYUDataset:
         pix_z = np.stack(pz).astype(np.float32)
 
         if cfg.fp_loss:
-            masks, dists = compute_local_frustums(
+            # masks are rebuilt on device (losses/fp_device.py); ship only
+            # the class histograms
+            dists = compute_frustum_class_dists(
                 projected_pix, pix_z, target, IMG_W, IMG_H, "NYU",
                 cfg.n_classes, cfg.frustum_size,
             )
-            sample["frustums_masks"] = masks
             sample["frustums_class_dists"] = dists.astype(np.float32)
 
         img = Image.open(os.path.join(self.root, name + "_color.jpg"))

@@ -20,7 +20,7 @@ from occdepth_tpu.data.augment import (
     ida_matrix,
     normalize_rgb,
 )
-from occdepth_tpu.geometry.frustums_mask import compute_local_frustums
+from occdepth_tpu.geometry.frustums_mask import compute_frustum_class_dists
 from occdepth_tpu.geometry.projection import vox2pix
 from occdepth_tpu.geometry.relations import compute_cp_mega_matrix
 
@@ -86,6 +86,7 @@ class TartanAirDataset:
             color_jitter_params if split == "train" else None
         )
         self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self.scene_size = (
             np.asarray(cfg.full_scene_size, float) * cfg.voxel_size_meters
         )
@@ -114,6 +115,12 @@ class TartanAirDataset:
 
     def __len__(self):
         return len(self.scans)
+
+    def reseed(self, epoch: int):
+        """Deterministic per-epoch augmentation RNG: a resumed run
+        replays the same jitter/flip draws as an uninterrupted one
+        (honors the `deterministic` config key)."""
+        self.rng = np.random.RandomState(self.seed + 100003 * (epoch + 1))
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         from PIL import Image
@@ -161,11 +168,11 @@ class TartanAirDataset:
         pix_z = np.stack(pz).astype(np.float32)
 
         if cfg.fp_loss:
-            masks, dists = compute_local_frustums(
+            # masks are rebuilt on device (losses/fp_device.py)
+            dists = compute_frustum_class_dists(
                 projected_pix, pix_z, target, IMG_W, IMG_H, "tartanair",
                 cfg.n_classes, cfg.frustum_size,
             )
-            sample["frustums_masks"] = masks
             sample["frustums_class_dists"] = dists.astype(np.float32)
 
         do_flip = self.split == "train" and self.rng.rand() < self.fliplr

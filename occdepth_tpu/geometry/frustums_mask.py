@@ -61,15 +61,14 @@ def compute_local_frustums(
     )
     local_frustum = in_tile.any(axis=1)  # (T, N)
 
-    if dataset == "NYU":
-        grids = np.moveaxis(
-            local_frustum.reshape(T, 60, 60, 36), [1, 2, 3], [1, 3, 2]
-        )
-    elif dataset == "tartanair":
+    if dataset in ("NYU", "tartanair"):
+        # flat (world) voxel order is (ts0, ts2, ts1) of the target layout
+        # (NYU target (X, Zup, Y): world (X, Y, Zup), helpers.py:241-244;
+        # tartanair target (H, W, D): world (H, D, W))
         grids = np.moveaxis(
             local_frustum.reshape(T, H, D, W), [1, 2, 3], [1, 3, 2]
         )
-    else:  # kitti
+    else:  # kitti: target layout == world order
         grids = local_frustum.reshape(T, H, W, D)
 
     valid = target != 255
@@ -83,3 +82,57 @@ def compute_local_frustums(
             flat_target[flat_masks[t]], minlength=n_classes
         )[:n_classes]
     return masks, dists
+
+
+def world_order_target(target: np.ndarray, dataset: str) -> np.ndarray:
+    """Reorder a target volume into flat world voxel order (the vox2pix /
+    voxel_centroids (X, Y, Z)-'ij' flattening the projections index)."""
+    if dataset in ("NYU", "tartanair"):
+        # NYU target (X, Zup, Y) -> world (X, Y, Zup);
+        # tartanair target (H, W, D) -> world (H, D, W)
+        return np.ascontiguousarray(np.transpose(target, (0, 2, 1)))
+    return target
+
+
+def compute_frustum_class_dists(
+    projected_pix: np.ndarray,
+    pix_z: np.ndarray,
+    target: np.ndarray,
+    img_W: int,
+    img_H: int,
+    dataset: str,
+    n_classes: int,
+    size: int = 4,
+) -> np.ndarray:
+    """Per-frustum GT class histograms WITHOUT materializing the voxel masks.
+
+    Same values as `compute_local_frustums(...)[1]`, but O(N) via per-voxel
+    tile indices instead of the (size^2, N) mask tensor — the masks
+    themselves are rebuilt on-device inside the fp loss
+    (losses/fp_device.py), so the data pipeline only ships this tiny
+    (size^2, n_classes) table.
+    """
+    px = projected_pix[:, :, 0, 0].astype(np.float64)  # (V, N)
+    py = projected_pix[:, :, 0, 1].astype(np.float64)
+    V = px.shape[0]
+    T = size * size
+
+    ix = np.floor(px * size / img_W).astype(np.int64)
+    iy = np.floor(py * size / img_H).astype(np.int64)
+    valid = (
+        (px >= 0) & (px < img_W) & (py >= 0) & (py < img_H) & (pix_z > 0)
+    )
+    tile = np.where(valid, iy * size + ix, -1)  # (V, N)
+
+    cls = world_order_target(target, dataset).reshape(-1).astype(np.int64)
+    cls_valid = cls != 255
+
+    dists = np.zeros(T * n_classes, dtype=np.float64)
+    for v in range(V):
+        new = (tile[v] >= 0) & cls_valid
+        for u in range(v):  # OR semantics: count each (voxel, tile) once
+            new &= tile[u] != tile[v]
+        dists += np.bincount(
+            tile[v][new] * n_classes + cls[new], minlength=T * n_classes
+        )
+    return dists.reshape(T, n_classes)

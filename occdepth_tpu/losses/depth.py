@@ -16,6 +16,18 @@ import jax.numpy as jnp
 from occdepth_tpu.ops.resize import resize_nearest
 
 _LOG_CLAMP = 100.0
+_TINY = 1e-37
+
+
+def _clamped_log(x: jnp.ndarray) -> jnp.ndarray:
+    """log(x) clamped at -100 (torch BCE) with a FINITE backward.
+
+    `max(log(max(x, 0)), -100)` NaNs in backward at x == 0 (0 * inf); see
+    losses/ssc.py _safe_neg_log.  With 104 depth bins the softmax routinely
+    underflows to exact fp32 zero on real images, so this is load-bearing.
+    """
+    safe = x > _TINY
+    return jnp.where(safe, jnp.log(jnp.where(safe, x, 1.0)), -_LOG_CLAMP)
 
 
 def _downsampled_gt_bins(
@@ -57,8 +69,7 @@ def depth_cls_loss(
 
     p = jnp.clip(preds, 0.0, 1.0)
     bce = -(
-        labels * jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -_LOG_CLAMP)
-        + (1.0 - labels) * jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0)), -_LOG_CLAMP)
+        labels * _clamped_log(p) + (1.0 - labels) * _clamped_log(1.0 - p)
     )
     loss = (bce * fg[:, None]).sum() / jnp.maximum(fg.sum(), 1.0)
     return loss

@@ -1,0 +1,212 @@
+"""Frustum-proportion (fp) loss with ON-DEVICE mask generation.
+
+The reference ships a (frustum_size^2, 256, 256, 32) bool mask tensor per
+sample from the data loader to the device (~134 MB/sample at flagship
+config; occdepth/data/semantic_kitti/kitti_dataset.py:315-333 +
+OccDepth.py:490-524).  On TPU that host->device transfer dominates the
+step, so here the masks are *rebuilt inside the jitted step* from the
+calibration matrices already in the batch: project every voxel centre
+(an MXU-trivial matmul), bin the centre pixel into the size^2 image
+tiles, and accumulate the per-frustum predicted class mass with chunked
+one-hot matmuls (same int-exact-in-fp32 chunking as losses/metrics.py).
+Only the tiny (F, C) GT class histograms cross the PCIe/ICI boundary.
+
+Parity notes (reference quirks preserved):
+  * frustums use the UNFLIPPED projections — the reference computes masks
+    before image augmentation (kitti_dataset.py:316-333 vs :367-412), so no
+    ida/flip handling belongs here;
+  * only the centre pattern point is used (helpers.py:228-231);
+  * pixel = round(x*f/z + c) with round-half-even, like the numba
+    projection (fusion.py:236-343 via np.round).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from occdepth_tpu.config import OccDepthConfig
+
+_CHUNK = 1 << 18  # voxels per one-hot matmul chunk (f32-exact counts)
+
+
+def _world_dims(
+    target_shape: Tuple[int, int, int], dataset: str
+) -> Tuple[int, int, int]:
+    """Voxel grid dims in world (X, Y, Z)-'ij' order from the target layout
+    (NYU target is (X, Zup, Y), tartanair (H, W, D); kitti is world order —
+    see geometry/frustums_mask.py reshapes)."""
+    if dataset in ("NYU", "tartanair"):
+        return (target_shape[0], target_shape[2], target_shape[1])
+    return target_shape
+
+
+def _to_world_order(x: jnp.ndarray, dataset: str) -> jnp.ndarray:
+    """(B, A, B_, C_, ...) volume -> world voxel order, flattened over grid."""
+    if dataset in ("NYU", "tartanair"):
+        perm = (0, 1, 3, 2) + tuple(range(4, x.ndim))
+        x = x.transpose(perm)
+    return x.reshape((x.shape[0], -1) + x.shape[4:])
+
+
+def _tile_bounds(img_W: int, img_H: int, size: int):
+    """Per-tile [start, end) pixel bounds, tile index t = iy*size + ix
+    (reference loops `for y: for x:`, helpers.py:219-224)."""
+    b = np.arange(size, dtype=np.float64) / size
+    sx = np.tile(b * img_W, size)
+    ex = np.tile((b + 1.0 / size) * img_W, size)
+    sy = np.repeat(b * img_H, size)
+    ey = np.repeat((b + 1.0 / size) * img_H, size)
+    f32 = lambda a: jnp.asarray(a.astype(np.float32))
+    return f32(sx), f32(ex), f32(sy), f32(ey)
+
+
+def _project_centers(
+    vol_dim: Tuple[int, int, int],
+    voxel_size: float,
+    vox_origin: jnp.ndarray,  # (3,)
+    cam_E: jnp.ndarray,  # (4, 4)
+    cam_k: jnp.ndarray,  # (3, 3)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Voxel centres -> rounded centre pixel + camera depth, (N,) each.
+
+    jnp twin of geometry/projection.py voxel_centroids + rigid_transform +
+    the centre point of project_pattern_pixels.
+    """
+    X, Y, Z = vol_dim
+    xs = (jnp.arange(X, dtype=jnp.float32) + 0.5) * voxel_size
+    ys = (jnp.arange(Y, dtype=jnp.float32) + 0.5) * voxel_size
+    zs = (jnp.arange(Z, dtype=jnp.float32) + 0.5) * voxel_size
+    gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    pts = jnp.stack(
+        [gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], axis=1
+    ) + vox_origin[None, :].astype(jnp.float32)  # (N, 3)
+
+    rot = cam_E[:3, :3].astype(jnp.float32)
+    trans = cam_E[:3, 3].astype(jnp.float32)
+    cam = pts @ rot.T + trans[None, :]
+    z = cam[:, 2]
+    px = jnp.round(cam[:, 0] * cam_k[0, 0] / z + cam_k[0, 2])
+    py = jnp.round(cam[:, 1] * cam_k[1, 1] / z + cam_k[1, 2])
+    return px, py, z
+
+
+def _cum_prob_sample(
+    prob_w: jnp.ndarray,  # (N, C) softmax probs, world voxel order
+    valid_t: jnp.ndarray,  # (N,) bool target != 255, world order
+    px: jnp.ndarray,  # (V, N)
+    py: jnp.ndarray,
+    z: jnp.ndarray,
+    bounds,
+) -> jnp.ndarray:
+    """Per-frustum predicted class mass (F, C) for one sample."""
+    sx, ex, sy, ey = bounds
+    N, C = prob_w.shape
+    pad = (-N) % _CHUNK
+    px = jnp.pad(px, ((0, 0), (0, pad)), constant_values=-1.0)
+    py = jnp.pad(py, ((0, 0), (0, pad)), constant_values=-1.0)
+    z = jnp.pad(z, ((0, 0), (0, pad)), constant_values=0.0)
+    prob_w = jnp.pad(prob_w, ((0, pad), (0, 0)))
+    valid_t = jnp.pad(valid_t, (0, pad))
+    K = (N + pad) // _CHUNK
+
+    pxc = px.reshape(-1, K, _CHUNK).transpose(1, 0, 2)  # (K, V, chunk)
+    pyc = py.reshape(-1, K, _CHUNK).transpose(1, 0, 2)
+    zc = z.reshape(-1, K, _CHUNK).transpose(1, 0, 2)
+    probc = prob_w.reshape(K, _CHUNK, C)
+    vtc = valid_t.reshape(K, _CHUNK)
+
+    def one_chunk(pxk, pyk, zk, pk, vk):
+        in_tile = (
+            (pxk[..., None] >= sx)
+            & (pxk[..., None] < ex)
+            & (pyk[..., None] >= sy)
+            & (pyk[..., None] < ey)
+            & (zk[..., None] > 0)
+        )  # (V, chunk, F)
+        oh = (in_tile.any(axis=0) & vk[:, None]).astype(jnp.float32)
+        return jnp.einsum(
+            "nf,nc->fc", oh, pk, preferred_element_type=jnp.float32
+        )
+
+    return jax.vmap(one_chunk)(pxc, pyc, zc, probc, vtc).sum(axis=0)
+
+
+def frustum_proportion_loss_device(
+    cfg: OccDepthConfig,
+    logits: jnp.ndarray,  # (B, X, Y, Z, C) target-layout logits
+    batch: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """fp loss (OccDepth.py:490-524 + KL_sep) with device-built masks.
+
+    Needs in `batch`: target, cam_k, T_velo_2_cam, frustums_class_dists
+    (and vox_origin for NYU/tartanair).  Numerically identical to
+    `frustum_proportion_loss` fed the host-computed masks.
+    """
+    from occdepth_tpu.losses.ssc import _softmax
+
+    dataset = cfg.dataset
+    B, C = logits.shape[0], logits.shape[-1]
+    target = batch["target"]
+    vol_dim = _world_dims(tuple(target.shape[1:]), dataset)
+    voxel_size = cfg.voxel_size_meters * cfg.output_scale
+    img_H, img_W = cfg.img_shape
+    bounds = _tile_bounds(img_W, img_H, cfg.frustum_size)
+
+    if "vox_origin" in batch:
+        origins = batch["vox_origin"].astype(jnp.float32)  # (B, 3)
+    else:
+        from occdepth_tpu.data.batch import vox_origin_for
+
+        origins = jnp.broadcast_to(
+            jnp.asarray(vox_origin_for(cfg), jnp.float32), (B, 3)
+        )
+
+    prob = _softmax(logits)
+    prob_w = _to_world_order(prob, dataset)  # (B, N, C)
+    valid_t = _to_world_order(target[..., None], dataset)[..., 0] != 255
+
+    def project_views(origin, cam_E, cam_k):  # over views
+        if dataset == "NYU" and cfg.use_depth_gt:
+            # host frustums include the virtual right camera
+            # (data/nyu.py:98-103): baseline shift of the real extrinsics
+            from occdepth_tpu.data.nyu import VIRTUAL_BASELINE
+
+            shift = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(
+                -VIRTUAL_BASELINE
+            )
+            cam_E = jnp.concatenate([cam_E, (shift @ cam_E[0])[None]], axis=0)
+            cam_k = jnp.concatenate([cam_k, cam_k[:1]], axis=0)
+        return jax.vmap(
+            lambda E, K: _project_centers(vol_dim, voxel_size, origin, E, K)
+        )(cam_E, cam_k)
+
+    px, py, z = jax.vmap(project_views)(
+        origins,
+        batch["T_velo_2_cam"].astype(jnp.float32),
+        batch["cam_k"].astype(jnp.float32),
+    )  # each (B, V, N)
+
+    cum_prob = jax.vmap(
+        lambda p, v, a, b, c: _cum_prob_sample(p, v, a, b, c, bounds)
+    )(prob_w, valid_t, px, py, z).sum(axis=0)  # (F, C)
+
+    batch_cnt = batch["frustums_class_dists"].sum(axis=0)  # (F, C)
+
+    total_cnt = batch_cnt.sum(axis=1)
+    total_prob = cum_prob.sum(axis=1)
+    nonempty = (total_prob > 0) & (total_cnt > 0)
+    target_prop = batch_cnt / jnp.maximum(total_cnt, 1e-30)[:, None]
+    p = cum_prob / jnp.maximum(total_prob, 1e-30)[:, None]
+    tgt_nz = target_prop > 0
+    kl_el = jnp.where(
+        tgt_nz,
+        target_prop * (jnp.log(jnp.maximum(target_prop, 1e-30)) -
+                       jnp.log(jnp.maximum(p, 1e-30))),
+        0.0,
+    )
+    kl = jnp.where(nonempty, kl_el.sum(axis=1), 0.0)
+    n = nonempty.astype(jnp.float32).sum()
+    return kl.sum() / jnp.maximum(n, 1.0)

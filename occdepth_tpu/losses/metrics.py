@@ -21,20 +21,35 @@ def confusion_update(
     y_pred: jnp.ndarray,  # (B, ...) int predicted labels
     y_true: jnp.ndarray,  # (B, ...) int targets (255 invalid)
     n_classes: int,
+    sample_valid: jnp.ndarray = None,  # (B,) bool; False = padding sample
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-batch completion counts + semantic confusion matrix (device-side).
 
     Matches SSCMetrics.add_batch semantics (sscMetrics.py:70-204): voxels
     with target 255 are set to class 0 in both pred and target before
-    counting.
+    counting (they count into conf[0, 0] like the reference).
+
+    `sample_valid` marks batch rows that are padding (the static-shape
+    replacement for Lightning's ragged final eval batch, eval.py:78-80):
+    padded rows contribute nothing — not even to conf[0, 0].
 
     Returns:
         completion: (3,) int32 [tp, fp, fn] of binarized occupancy.
         conf: (C, C) int32 with conf[t, p] counts.
     """
     invalid = y_true == 255
+    if sample_valid is not None:
+        pad_row = ~sample_valid.reshape(
+            sample_valid.shape + (1,) * (y_true.ndim - sample_valid.ndim)
+        )
+        invalid = invalid | pad_row
     t = jnp.where(invalid, 0, y_true).astype(jnp.int32).reshape(-1)
     p = jnp.where(invalid, 0, y_pred).astype(jnp.int32).reshape(-1)
+    if sample_valid is not None:
+        # padding voxels match no class one-hot (the chunk-pad sentinels)
+        keep = jnp.broadcast_to(~pad_row, y_true.shape).reshape(-1)
+        t = jnp.where(keep, t, -1)
+        p = jnp.where(keep, p, -2)
 
     bt = t > 0
     bp = p > 0

@@ -13,11 +13,23 @@ import jax
 import jax.numpy as jnp
 
 _LOG_CLAMP = 100.0  # torch F.binary_cross_entropy clamps log at -100
+_TINY = 1e-37  # below this, 1/x overflows fp32 and the clamp is active
 
 
 def _safe_neg_log(x: jnp.ndarray) -> jnp.ndarray:
-    """-log(x) with torch's BCE clamp semantics."""
-    return jnp.minimum(-jnp.log(jnp.maximum(x, 0.0)), _LOG_CLAMP)
+    """-log(x) with torch's BCE clamp semantics AND a finite gradient.
+
+    `min(-log(max(x, 0)), 100)` is forward-correct but its backward is
+    `0 * inf = NaN` at x == 0 (the select multiplies the untaken branch's
+    infinite dlog) — this poisoned every parameter upstream the first time
+    a probability underflowed to exact 0 on real-scale data.  The
+    double-where evaluates log only where it is safe; the gradient at the
+    clamp is 0 (torch's is huge-but-finite there; after clip-by-35 both
+    train the same).  For x in (3.7e-44, 1e-37) the forward returns the
+    clamp (100) where torch returns 85..100 — a measure-zero divergence.
+    """
+    safe = x > _TINY
+    return jnp.where(safe, -jnp.log(jnp.where(safe, x, 1.0)), _LOG_CLAMP)
 
 
 def ce_ssc_loss(
@@ -57,12 +69,18 @@ def geo_scal_loss(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     valid = (target != 255).astype(jnp.float32)
     t_nonempty = ((target != 0) & (target != 255)).astype(jnp.float32)
 
+    # degenerate denominators (all-empty predictions/targets) give the
+    # clamp value with finite gradient instead of torch's NaN — identical
+    # everywhere a real scene/model lands (see _safe_neg_log)
+    def _ratio(num, den):
+        pos = den > 0
+        return jnp.where(pos, num / jnp.where(pos, den, 1.0), 0.0)
+
     inter = (t_nonempty * nonempty * valid).sum()
-    precision = inter / (nonempty * valid).sum()
-    recall = inter / t_nonempty.sum()
+    precision = _ratio(inter, (nonempty * valid).sum())
+    recall = _ratio(inter, t_nonempty.sum())
     spec_num = ((1.0 - t_nonempty) * empty * valid).sum()
-    spec_den = ((1.0 - t_nonempty) * valid).sum()
-    spec = spec_num / spec_den
+    spec = _ratio(spec_num, ((1.0 - t_nonempty) * valid).sum())
     return _safe_neg_log(precision) + _safe_neg_log(recall) + _safe_neg_log(spec)
 
 
@@ -85,12 +103,23 @@ def sem_scal_loss(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     not_ct_sum = valid.sum() - ct_sum  # sum(1 - completion_target) over valid
     spec_nom = ((1.0 - prob) * (valid[..., None] - onehot)).sum(axis=axes)
 
+    # guard denominators with where, NOT maximum(x, eps): the derivative
+    # -nom/eps^2 underflows to 0/0 = NaN in fp32 and the outer where cannot
+    # stop 0*NaN (this poisoned training the first time a class had zero
+    # predicted mass).  where(guard, x, 1) matches torch, which divides by
+    # the raw sum under an `if sum > 0` guard (ssc_loss.py:64-86).
     has_class = ct_sum > 0
-    loss_prec = jnp.where(p_sum > 0, _safe_neg_log(nom / jnp.maximum(p_sum, 1e-30)), 0.0)
-    loss_rec = _safe_neg_log(nom / jnp.maximum(ct_sum, 1e-30))
+    p_pos = p_sum > 0
+    nct_pos = not_ct_sum > 0
+    loss_prec = jnp.where(
+        p_pos, _safe_neg_log(nom / jnp.where(p_pos, p_sum, 1.0)), 0.0
+    )
+    loss_rec = jnp.where(
+        has_class, _safe_neg_log(nom / jnp.where(has_class, ct_sum, 1.0)), 0.0
+    )
     loss_spec = jnp.where(
-        not_ct_sum > 0,
-        _safe_neg_log(spec_nom / jnp.maximum(not_ct_sum, 1e-30)),
+        nct_pos,
+        _safe_neg_log(spec_nom / jnp.where(nct_pos, not_ct_sum, 1.0)),
         0.0,
     )
     per_class = jnp.where(has_class, loss_prec + loss_rec + loss_spec, 0.0)

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", default="last",
                     help="checkpoint name under <logdir>/<exp>/checkpoints")
+    ap.add_argument("--torch-ckpt", default=None,
+                    help="reference PyTorch .ckpt/.pt to convert and "
+                         "evaluate (the released-checkpoint parity path; "
+                         "reference scripts/eval.py:65-70)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     cfg = load_config(args.config, parse_overrides(args.overrides))
@@ -54,14 +58,29 @@ def main():
     tx = make_optimizer(cfg, steps_per_epoch=1)
     example = strip_metadata(next(iter(val_loader)))
     state = init_state(cfg, jax.random.PRNGKey(0), example, tx)
-    restored = trainer.ckpt.restore(state, args.ckpt)
-    if restored is None:
-        raise SystemExit(
-            f"checkpoint '{args.ckpt}' not found under {trainer.ckpt.directory}"
-        )
     import jax.numpy as jnp
 
-    state = jax.tree_util.tree_map(jnp.asarray, restored)
+    if args.torch_ckpt:
+        from occdepth_tpu.training.convert_torch import load_torch_checkpoint
+
+        variables, missing = load_torch_checkpoint(args.torch_ckpt, cfg)
+        if missing:
+            print(f"WARNING: {len(missing)} torch keys not found, e.g. "
+                  f"{missing[:5]}")
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.asarray, variables["batch_stats"]
+            ),
+        )
+    else:
+        restored = trainer.ckpt.restore(state, args.ckpt)
+        if restored is None:
+            raise SystemExit(
+                f"checkpoint '{args.ckpt}' not found under "
+                f"{trainer.ckpt.directory}"
+            )
+        state = jax.tree_util.tree_map(jnp.asarray, restored)
 
     stats = trainer.validate(state, val_loader)
     print_stats(stats, class_names_for(cfg.dataset))

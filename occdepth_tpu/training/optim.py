@@ -22,14 +22,19 @@ def multistep_lr(
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
-def make_optimizer(cfg: OccDepthConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+def lr_schedule(cfg: OccDepthConfig, steps_per_epoch: int) -> optax.Schedule:
+    """The LR schedule alone (for the LR monitor, scripts/train.py:151)."""
     if cfg.dataset == "tartanair":
         milestones, gamma = (20,), 0.1
     else:
         milestones, gamma = (18, 24), 0.4
-    schedule = multistep_lr(
+    return multistep_lr(
         cfg.lr, [m * steps_per_epoch for m in milestones], gamma
     )
+
+
+def make_optimizer(cfg: OccDepthConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = lr_schedule(cfg, steps_per_epoch)
     chain = []
     if cfg.gradient_clip_val and cfg.gradient_clip_val > 0:
         chain.append(optax.clip_by_global_norm(cfg.gradient_clip_val))

@@ -129,10 +129,20 @@ def compute_losses(
         loss += l_geo
         logs["loss_geo_scal"] = l_geo
 
-    if cfg.fp_loss and not is_test and "frustums_masks" in batch:
-        l_fp = frustum_proportion_loss(
-            ssc_logits, batch["frustums_masks"], batch["frustums_class_dists"]
-        )
+    if cfg.fp_loss and not is_test and "frustums_class_dists" in batch:
+        if "frustums_masks" in batch:
+            l_fp = frustum_proportion_loss(
+                ssc_logits, batch["frustums_masks"],
+                batch["frustums_class_dists"],
+            )
+        else:
+            # production path: masks rebuilt on device from the calib
+            # matrices (kills the ~134 MB/sample host->device transfer)
+            from occdepth_tpu.losses.fp_device import (
+                frustum_proportion_loss_device,
+            )
+
+            l_fp = frustum_proportion_loss_device(cfg, ssc_logits, batch)
         loss += l_fp
         logs["loss_frustums"] = l_fp
 
@@ -180,9 +190,19 @@ def make_train_step(cfg: OccDepthConfig, tx: optax.GradientTransformation):
 
 
 def make_eval_step(cfg: OccDepthConfig):
+    """Validation step: losses + on-device confusion counts (no y_pred
+    transfer — prediction dumps go through make_forward).
+
+    An optional batch key `sample_valid` (B,) bool marks padding rows used
+    to keep the final val batch static-shape (reference eval handles the
+    ragged remainder dynamically, occdepth/scripts/eval.py:78-80); padded
+    rows are excluded from the confusion counts.
+    """
     model = create_model(cfg)
 
     def eval_step(params, batch_stats, batch):
+        batch = dict(batch)
+        sample_valid = batch.pop("sample_valid", None)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch, train=False
         )
@@ -191,9 +211,9 @@ def make_eval_step(cfg: OccDepthConfig):
         )
         y_pred = jnp.argmax(out["ssc_logit"], axis=-1)
         completion, conf = confusion_update(
-            y_pred, batch["target"], cfg.n_classes
+            y_pred, batch["target"], cfg.n_classes, sample_valid
         )
-        return logs, y_pred, completion, conf
+        return logs, completion, conf
 
     return jax.jit(eval_step)
 

@@ -22,7 +22,7 @@ from occdepth_tpu.losses.metrics import SSCMetrics
 from occdepth_tpu.parallel import make_mesh, shard_batch
 from occdepth_tpu.training.checkpoint import CheckpointManager
 from occdepth_tpu.training.logging import MetricsLogger
-from occdepth_tpu.training.optim import make_optimizer
+from occdepth_tpu.training.optim import lr_schedule, make_optimizer
 from occdepth_tpu.training.step import (
     TrainState,
     init_state,
@@ -126,10 +126,20 @@ class Trainer:
         train_step = make_train_step(cfg, tx)
         eval_step = make_eval_step(cfg)
         train_metrics = SSCMetrics(cfg.n_classes)
+        lr_fn = lr_schedule(cfg, steps_per_epoch)
 
         step = start_step
+        start_epoch = start_step // steps_per_epoch
+        # resume determinism: the shuffle order is a pure function of the
+        # epoch counter, so a resumed run replays the same order an
+        # uninterrupted run would have used
+        train_loader.epoch = start_epoch
         t_start = time.time()
-        for epoch in range(start_step // steps_per_epoch, cfg.max_epochs):
+        for epoch in range(start_epoch, cfg.max_epochs):
+            if cfg.deterministic and hasattr(train_ds, "reseed"):
+                # per-epoch reseed of the augmentation RNG (the reference's
+                # seed_everything + worker_init_fn, scripts/train.py:213)
+                train_ds.reseed(epoch)
             for batch in train_loader:
                 batch = shard_batch(strip_metadata(batch), self.mesh)
                 progress = jnp.asarray(
@@ -145,6 +155,7 @@ class Trainer:
                     logs["steps_per_sec"] = step / max(
                         1e-9, time.time() - t_start
                     )
+                    logs["lr"] = float(lr_fn(step))
                     self.metrics_logger.log(step, logs, prefix="train/")
                 if max_steps is not None and step >= max_steps:
                     break
@@ -152,14 +163,22 @@ class Trainer:
             # validation epoch
             val_stats = self.validate(state, val_loader, eval_step)
             stats = train_metrics.get_stats()
-            self.metrics_logger.log(step, {
+            epoch_logs = {
                 "train/mIoU": stats["iou_ssc_mean"],
                 "train/IoU": stats["iou"],
                 "val/mIoU": val_stats["iou_ssc_mean"],
                 "val/IoU": val_stats["iou"],
                 "val/Precision": val_stats["precision"],
                 "val/Recall": val_stats["recall"],
-            })
+            }
+            # per-class IoU at epoch end (reference OccDepth.py:542-557)
+            for name, iou in zip(
+                self.class_names, val_stats["iou_ssc"].tolist()
+            ):
+                epoch_logs[f"val/IoU_{name}"] = iou
+            for k, v in val_stats.get("losses", {}).items():
+                epoch_logs[f"val/{k}"] = v
+            self.metrics_logger.log(step, epoch_logs)
             train_metrics.reset()
             self.ckpt.save(state, step, {
                 "val/mIoU": val_stats["iou_ssc_mean"],
@@ -170,13 +189,44 @@ class Trainer:
         return state
 
     def validate(self, state: TrainState, val_loader, eval_step=None):
+        """Full-val metrics + mean val losses.
+
+        The final ragged batch (e.g. KITTI val = 795 frames, 795 % 8 != 0)
+        is padded up to the global batch with repeated rows plus a
+        `sample_valid` mask, so every step has the same static shape (no
+        recompile) and padded rows never reach the confusion counts.  Val
+        losses are averaged over the full batches only (padding would bias
+        the loss mean).
+        """
         if eval_step is None:
             eval_step = make_eval_step(self.cfg)
         metrics = SSCMetrics(self.cfg.n_classes)
+        gb = self.global_batch
+        loss_sums: Dict[str, float] = {}
+        n_loss_batches = 0
         for batch in val_loader:
-            batch = shard_batch(strip_metadata(batch), self.mesh)
-            logs, y_pred, completion, conf = eval_step(
+            batch = strip_metadata(batch)
+            bs = next(iter(batch.values())).shape[0]
+            valid = np.ones((gb,), bool)
+            if bs < gb:
+                valid[bs:] = False
+                batch = {
+                    k: np.concatenate([v] + [v[:1]] * (gb - bs))
+                    for k, v in batch.items()
+                }
+            batch["sample_valid"] = valid
+            batch = shard_batch(batch, self.mesh)
+            logs, completion, conf = eval_step(
                 state.params, state.batch_stats, batch
             )
             metrics.merge_device(completion, conf)
-        return metrics.get_stats()
+            if bs == gb:
+                n_loss_batches += 1
+                for k, v in logs.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+        stats = metrics.get_stats()
+        if n_loss_batches:
+            stats["losses"] = {
+                k: v / n_loss_batches for k, v in loss_sums.items()
+            }
+        return stats

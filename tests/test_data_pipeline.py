@@ -79,7 +79,10 @@ def test_kitti_dataset_batch(kitti_tree):
     assert batch["fov_mask"].shape == (2, 2, N, 1)
     assert batch["target"].shape == (2, 256, 256, 32)
     assert batch["CP_mega_matrices"].shape == (2, 4, 4096, 512)
-    assert batch["frustums_masks"].shape == (2, 4, 256, 256, 32)
+    # masks are rebuilt on device (losses/fp_device.py); only the class
+    # histograms ship with the batch
+    assert "frustums_masks" not in batch
+    assert batch["frustums_class_dists"].shape == (2, 4, 20)
     assert batch["gt_depth"].shape == (2, 1, 370, 1220)
     assert batch["cam_k"].dtype == np.float32
     # loader iteration

@@ -204,3 +204,35 @@ def test_metrics_match_numpy_loop(rng):
     assert s["precision"] == 0.5  # binarized: pred nonempty {1,2}, true {1}
     assert s["recall"] == 1.0
     assert s["iou"] == 0.5
+
+
+def test_loss_grads_finite_at_prob_underflow():
+    """Backward NaN regression (found driving train.py on real-scale data):
+    clamped logs must have finite gradients when probabilities underflow to
+    exact fp32 zero (softmax over 104 bins does this routinely)."""
+    import jax
+
+    from occdepth_tpu.losses.depth import depth_cls_loss
+    from occdepth_tpu.losses.ssc import geo_scal_loss, sem_scal_loss
+
+    # logits extreme enough that softmax == exact 0/1 in fp32
+    logits = jnp.zeros((1, 4, 4, 2, 5), jnp.float32).at[..., 0].set(200.0)
+    target = jnp.asarray(
+        np.random.RandomState(0).randint(0, 5, size=(1, 4, 4, 2))
+    )
+
+    for fn in (sem_scal_loss, geo_scal_loss):
+        val, grad = jax.value_and_grad(fn)(logits, target)
+        assert np.isfinite(float(val)), fn.__name__
+        assert np.isfinite(np.asarray(grad)).all(), fn.__name__
+
+    # depth distillation: predicted distribution with exact zeros
+    depth_logits = jnp.zeros((1, 1, 2, 3, 6), jnp.float32).at[..., 0].set(200.0)
+    gt = jnp.full((1, 1, 8, 12), 3.0, jnp.float32)
+
+    def loss_fn(dl):
+        return depth_cls_loss(gt, jax.nn.softmax(dl, -1), 4, (2.0, 5.0, 0.5))
+
+    val, grad = jax.value_and_grad(loss_fn)(depth_logits)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
