@@ -162,10 +162,11 @@ class OccDepthConfig:
 
     @property
     def n_views(self) -> int:
-        """Number of camera views fed to the 2D backbone."""
-        if self.dataset == "kitti":
-            return 2 if self.multi_view_mode else 1
-        return 1
+        """Number of camera views fed to the 2D backbone (kitti and
+        tartanair are stereo; NYU is single RGB-D)."""
+        if self.dataset == "NYU":
+            return 1
+        return 2 if self.multi_view_mode else 1
 
     @property
     def n_lift_views(self) -> int:
@@ -243,13 +244,21 @@ def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> OccDep
     """
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
-    if overrides:
-        raw.update(overrides)
     fields = {f.name: f for f in dataclasses.fields(OccDepthConfig)}
+    if overrides:
+        # CLI overrides are typed by a human mid-command: a typo'd key
+        # must error (hydra rejects unknown overrides too), unlike file
+        # keys below, which stay tolerant for schema evolution
+        unknown = sorted(set(overrides) - set(fields))
+        if unknown:
+            raise ValueError(
+                f"unknown config override key(s): {', '.join(unknown)}"
+            )
+        raw.update(overrides)
     kwargs = {}
     for key, value in raw.items():
         if key not in fields:
-            continue  # tolerate unknown keys, like hydra's flat schema
+            continue  # tolerate unknown file keys, like hydra's flat schema
         kwargs[key] = _coerce(value, fields[key].type)
     return OccDepthConfig(**kwargs)
 

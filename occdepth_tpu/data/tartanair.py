@@ -95,6 +95,8 @@ class TartanAirDataset:
         self.scans: List[Dict] = []
         for seq in seqs:
             seq_dir = os.path.join(self.root, scene, scene_difficulty, seq)
+            if not os.path.isdir(seq_dir):
+                continue  # partial scene download; ref would crash here
             poses0 = read_poses(os.path.join(seq_dir, "pose_left.txt"))
             poses1 = read_poses(os.path.join(seq_dir, "pose_right.txt"))
             T_cam0_2_world = poses0[0] @ T_CAM_2_BODY
@@ -196,3 +198,9 @@ class TartanAirDataset:
         sample["projected_pix"] = projected_pix
         sample["fov_mask"] = fov_mask
         return sample
+
+
+def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    from occdepth_tpu.data.kitti import collate as _collate
+
+    return _collate(samples)

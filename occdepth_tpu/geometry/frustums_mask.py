@@ -61,14 +61,19 @@ def compute_local_frustums(
     )
     local_frustum = in_tile.any(axis=1)  # (T, N)
 
-    if dataset in ("NYU", "tartanair"):
+    if dataset == "NYU":
         # flat (world) voxel order is (ts0, ts2, ts1) of the target layout
-        # (NYU target (X, Zup, Y): world (X, Y, Zup), helpers.py:241-244;
-        # tartanair target (H, W, D): world (H, D, W))
+        # (NYU target (X, Zup, Y): world (X, Y, Zup), helpers.py:241-244)
         grids = np.moveaxis(
             local_frustum.reshape(T, H, D, W), [1, 2, 3], [1, 3, 2]
         )
-    else:  # kitti: target layout == world order
+    else:
+        # kitti AND tartanair: target layout == world order.  The
+        # reference's tartanair branch reshapes flat world data to
+        # (H, D, W) even though its vox2pix flat order is the target
+        # shape itself (helpers.py:245-248 vs tartanair_dataset.py:214-221)
+        # — a scrambled-mask bug we do not replicate; our tartanair export
+        # writes targets in world (X, Y, Z) order.
         grids = local_frustum.reshape(T, H, W, D)
 
     valid = target != 255
@@ -86,10 +91,11 @@ def compute_local_frustums(
 
 def world_order_target(target: np.ndarray, dataset: str) -> np.ndarray:
     """Reorder a target volume into flat world voxel order (the vox2pix /
-    voxel_centroids (X, Y, Z)-'ij' flattening the projections index)."""
-    if dataset in ("NYU", "tartanair"):
-        # NYU target (X, Zup, Y) -> world (X, Y, Zup);
-        # tartanair target (H, W, D) -> world (H, D, W)
+    voxel_centroids (X, Y, Z)-'ij' flattening the projections index).
+    kitti/tartanair targets already are world order (see
+    compute_local_frustums)."""
+    if dataset == "NYU":
+        # NYU target (X, Zup, Y) -> world (X, Y, Zup)
         return np.ascontiguousarray(np.transpose(target, (0, 2, 1)))
     return target
 

@@ -36,16 +36,16 @@ def _world_dims(
     target_shape: Tuple[int, int, int], dataset: str
 ) -> Tuple[int, int, int]:
     """Voxel grid dims in world (X, Y, Z)-'ij' order from the target layout
-    (NYU target is (X, Zup, Y), tartanair (H, W, D); kitti is world order —
-    see geometry/frustums_mask.py reshapes)."""
-    if dataset in ("NYU", "tartanair"):
+    (NYU target is (X, Zup, Y); kitti/tartanair targets are world order —
+    see geometry/frustums_mask.py)."""
+    if dataset == "NYU":
         return (target_shape[0], target_shape[2], target_shape[1])
     return target_shape
 
 
 def _to_world_order(x: jnp.ndarray, dataset: str) -> jnp.ndarray:
     """(B, A, B_, C_, ...) volume -> world voxel order, flattened over grid."""
-    if dataset in ("NYU", "tartanair"):
+    if dataset == "NYU":
         perm = (0, 1, 3, 2) + tuple(range(4, x.ndim))
         x = x.transpose(perm)
     return x.reshape((x.shape[0], -1) + x.shape[4:])

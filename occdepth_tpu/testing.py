@@ -43,6 +43,30 @@ def tiny_kitti_config(**overrides) -> OccDepthConfig:
     return OccDepthConfig(**base)
 
 
+def tiny_tartanair_config(**overrides) -> OccDepthConfig:
+    """TartanAir stereo flosp + CRP + cascade at toy sizes."""
+    base = dict(
+        dataset="tartanair",
+        full_scene_size=(16, 8, 16),
+        project_scale=1,
+        scene_size_m=(4.8, 2.4, 4.8),
+        voxel_size_m=0.3,
+        img_shape_hw=TINY_IMG_KITTI,
+        feature=16,
+        feature_2d_oc=16,
+        n_classes=14,
+        frustum_size=2,
+        multi_view_mode=True,
+        cascade_cls=True,
+        context_prior=True,
+        trans_2d_to_3d="flosp",
+        project_1_8=False,
+        compute_dtype="float32",
+    )
+    base.update(overrides)
+    return OccDepthConfig(**base)
+
+
 def tiny_nyu_config(**overrides) -> OccDepthConfig:
     """NYU RGB-D flosp (virtual stereo) + CRP + cascade at toy sizes."""
     base = dict(

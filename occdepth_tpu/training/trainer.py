@@ -45,6 +45,10 @@ def exp_name(cfg: OccDepthConfig) -> str:
         parts.append("crp")
     if cfg.cascade_cls:
         parts.append("cascade")
+    if cfg.occluded_cls:
+        # occluded head changes the param tree — must not share a
+        # checkpoint dir (auto-resume) with a non-occluded run
+        parts.append("occluded")
     if cfg.with_depth_gt:
         parts.append("depthgt")
     parts.append(f"run{cfg.run}")
@@ -98,6 +102,13 @@ class Trainer:
         cfg = self.cfg
         if train_ds is None or val_ds is None:
             train_ds, val_ds = make_datasets(cfg)
+        for name, ds in (("train", train_ds), ("val", val_ds)):
+            if len(ds) == 0:
+                raise RuntimeError(
+                    f"{name} dataset is empty — check data_root="
+                    f"{cfg.data_root!r} / data_preprocess_root="
+                    f"{cfg.data_preprocess_root!r}"
+                )
         train_loader = Loader(
             train_ds, self.global_batch, shuffle=True,
             num_workers=max(1, cfg.num_workers_per_gpu),

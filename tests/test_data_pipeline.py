@@ -46,6 +46,9 @@ def kitti_tree(tmp_path, rng):
         (seq / "voxels" / f"{frame}.bin").write_bytes(
             pack_bits((rng.rand(256 * 256 * 32) > 0.5).astype(np.uint8)).tobytes()
         )
+        (seq / "voxels" / f"{frame}.occluded").write_bytes(
+            pack_bits((rng.rand(256 * 256 * 32) > 0.7).astype(np.uint8)).tobytes()
+        )
         img = (rng.rand(H + 6, W + 20, 3) * 255).astype(np.uint8)
         _write_png(seq / "image_2" / f"{frame}.png", img)
         _write_png(seq / "image_3" / f"{frame}.png", img)
@@ -66,7 +69,7 @@ def test_kitti_dataset_batch(kitti_tree):
         dataset="kitti", data_root=root, data_preprocess_root=pre,
         data_stereo_depth_root=depth_root, use_stereo_depth_gt=True,
         multi_view_mode=True, frustum_size=2, n_relations=4,
-        context_prior=True, pattern_id=0,
+        context_prior=True, pattern_id=0, occluded_cls=True,
     )
     from occdepth_tpu.data.kitti import KittiDataset, Loader, collate
 
@@ -84,6 +87,7 @@ def test_kitti_dataset_batch(kitti_tree):
     assert "frustums_masks" not in batch
     assert batch["frustums_class_dists"].shape == (2, 4, 20)
     assert batch["gt_depth"].shape == (2, 1, 370, 1220)
+    assert batch["occluded"].shape == (2, 256, 256, 32)
     assert batch["cam_k"].dtype == np.float32
     # loader iteration
     loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2)
