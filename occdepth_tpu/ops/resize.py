@@ -66,19 +66,39 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool):
 def resize_bilinear(
     x: jnp.ndarray, size: Tuple[int, int], align_corners: bool
 ) -> jnp.ndarray:
-    """Bilinear resize of (..., H, W, C) to (..., size[0], size[1], C)."""
+    """Bilinear resize of (..., H, W, C) to (..., size[0], size[1], C).
+
+    The interpolation matmuls run in the input dtype (fp32 MXU matmuls are
+    ~4-8x slower than bf16; under the bf16 compute policy the resize is
+    activation traffic like any conv) with fp32 accumulation.
+    """
     H_out, W_out = size
     H_in, W_in = x.shape[-3], x.shape[-2]
     if (H_in, W_in) == (H_out, W_out):
         return x
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    My = _interp_matrix(H_in, H_out, align_corners)  # (H_out, H_in)
-    Mx = _interp_matrix(W_in, W_out, align_corners)  # (W_out, W_in)
-    out = jnp.einsum("oh,...hwc->...owc", My, xf,
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("pw,...hwc->...hpc", Mx, out,
-                     preferred_element_type=jnp.float32)
+    mat_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
+    xf = x.astype(mat_dtype)
+    My = _interp_matrix(H_in, H_out, align_corners).astype(mat_dtype)
+    Mx = _interp_matrix(W_in, W_out, align_corners).astype(mat_dtype)
+
+    def apply_h(a):
+        return jnp.einsum("oh,...hwc->...owc", My, a,
+                          preferred_element_type=jnp.float32).astype(mat_dtype)
+
+    def apply_w(a):
+        return jnp.einsum("pw,...hwc->...hpc", Mx, a,
+                          preferred_element_type=jnp.float32).astype(mat_dtype)
+
+    # apply the two axis passes in the cheaper order: for an upsample the
+    # second pass runs at the first pass's output size, so expanding the
+    # cheaper axis last saves up to ~30% of the matmul flops
+    cost_h_first = H_out * H_in * W_in + W_out * W_in * H_out
+    cost_w_first = W_out * W_in * H_in + H_out * H_in * W_out
+    if cost_h_first <= cost_w_first:
+        out = apply_w(apply_h(xf))
+    else:
+        out = apply_h(apply_w(xf))
     return out.astype(dtype)
 
 

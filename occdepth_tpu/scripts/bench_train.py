@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--json", action="store_true",
+                    help="emit one JSON line (artifact format)")
     args = ap.parse_args()
     enable()
 
@@ -52,10 +54,22 @@ def main():
     loss = float(logs["loss"])
     dt = (time.perf_counter() - t0) / args.iters
 
-    print(
-        f"train step: {dt * 1000:.1f} ms  "
-        f"({args.batch / dt:.2f} frames/sec, loss={loss:.3f})"
-    )
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "metric": "semantickitti_flagship_train_step",
+            "value": round(dt * 1000, 1),
+            "unit": "ms/step",
+            "frames_per_sec": round(args.batch / dt, 3),
+            "batch": args.batch,
+            "loss": round(loss, 4),
+        }))
+    else:
+        print(
+            f"train step: {dt * 1000:.1f} ms  "
+            f"({args.batch / dt:.2f} frames/sec, loss={loss:.3f})"
+        )
 
 
 if __name__ == "__main__":
