@@ -17,7 +17,7 @@ from occdepth_tpu.config import FlospDepthConfig
 from occdepth_tpu.geometry.frustum import FrustumGridSpec, frustum_grid
 from occdepth_tpu.models.layers import BatchNorm, torch_conv
 from occdepth_tpu.ops.grid_sample import (
-    frustum_sample_lanes,
+    frustum_sample_lanes_batched,
     grid_sample_3d_ones,
 )
 
@@ -167,9 +167,14 @@ class FlospDepth(nn.Module):
         )  # (B, V, X, Y, Z, 3)
 
         # scalar-volume trilinear resample with depth bins in the lane dim
-        # (exact grid_sample semantics; see frustum_sample_lanes)
-        sample = lambda v, g: frustum_sample_lanes(v, g, align_corners=False)
-        voxel_feats = jax.vmap(jax.vmap(sample))(vol, grids)[..., None]
+        # (exact grid_sample semantics); batch*cams folded into one flat
+        # gather — batched gathers lower ~8x slower (bench_gather2)
+        X_, Y_, Z_ = grids.shape[2:5]
+        voxel_feats = frustum_sample_lanes_batched(
+            vol.reshape((B * n_cams,) + vol.shape[2:]),
+            grids.reshape((B * n_cams, X_, Y_, Z_, 3)),
+            align_corners=False,
+        ).reshape(B, n_cams, X_, Y_, Z_)[..., None]
         # (B, V, X, Y, Z, 1)
 
         if n_cams == 1:

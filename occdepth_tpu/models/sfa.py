@@ -2,9 +2,13 @@
 
 Functional (parameter-free) rewrite of the reference SFA module
 (occdepth/models/SFA.py:5-106) plus the per-batch / per-scale python loops of
-OccDepth._forward_2d_to_3d (occdepth/models/OccDepth.py:262-298): everything
-is vmapped over batch; pattern points are gathered in one shot via the
-zero-sentinel-row trick.
+OccDepth._forward_2d_to_3d (occdepth/models/OccDepth.py:262-298).
+
+All (batch, view) maps of a scale are gathered by ONE flat `take` with
+offset indices (`flosp_gather_flat`): XLA's TPU lowering of a gather with
+batch dims (what vmap produces) is ~8x slower than the identical gather
+with batch folded into the row dimension.  Only the (cheap, elementwise)
+cross-view cosine fusion is vmapped.
 """
 from __future__ import annotations
 
@@ -13,25 +17,7 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from occdepth_tpu.ops.flosp_gather import flosp_gather, multiview_cosine_fuse
-
-
-def _lift_one_scale(
-    x2d: jnp.ndarray,  # (V, h, w, C)
-    projected_pix: jnp.ndarray,  # (V, N, P, 2) full-res pixel coords
-    fov_mask: jnp.ndarray,  # (V, N, P) bool
-    scale: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-view gather+mean at one 2D scale -> (V, N, C) feats, (V, N) valid."""
-    V, h, w, C = x2d.shape
-    pix = projected_pix // scale if scale > 1 else projected_pix
-    idx = pix[..., 1] * w + pix[..., 0]  # (V, N, P)
-    idx = jnp.where(fov_mask, idx, h * w).astype(jnp.int32)
-    counts = fov_mask.sum(axis=-1).astype(jnp.float32)  # (V, N)
-
-    feats = jax.vmap(flosp_gather)(x2d, idx, counts)  # (V, N, C)
-    valid = (counts > 0).astype(feats.dtype)
-    return feats, valid
+from occdepth_tpu.ops.flosp_gather import flosp_gather_flat, multiview_cosine_fuse
 
 
 def sfa_lift(
@@ -51,22 +37,18 @@ def sfa_lift(
       * NYU: flat order is world (X, Y, Z_up) = (60, 60, 36); the scene
         layout is (X, Z_up, Y) = (60, 36, 60) (SFA.py:90-97 reshape+permute).
     """
+    fuse = jax.vmap(
+        lambda f, v: multiview_cosine_fuse(f, v, use_pallas=use_pallas)
+    )
 
-    def lift_sample(x2ds, pix, fov):
-        out = None
-        for scale in project_res:
-            feats, valid = _lift_one_scale(x2ds[f"1_{scale}"], pix, fov, scale)
-            fused = multiview_cosine_fuse(
-                feats, valid, use_pallas=use_pallas
-            )  # (N, C)
-            out = fused if out is None else out + fused
-        return out
-
-    x3d = jax.vmap(
-        lambda pix, fov, *xs: lift_sample(
-            {f"1_{s}": x for s, x in zip(project_res, xs)}, pix, fov
-        )
-    )(projected_pix, fov_mask, *[x_rgb[f"1_{s}"] for s in project_res])
+    x3d = None
+    for scale in project_res:
+        pix = projected_pix // scale if scale > 1 else projected_pix
+        feats, valid = flosp_gather_flat(
+            x_rgb[f"1_{scale}"], pix, fov_mask
+        )  # (B, V, N, C), (B, V, N)
+        fused = fuse(feats, valid)  # (B, N, C)
+        x3d = fused if x3d is None else x3d + fused
 
     B, N, C = x3d.shape
     X, Y, Z = scene_dims

@@ -132,6 +132,66 @@ def frustum_sample_lanes(
     return out.reshape(shape)
 
 
+def frustum_sample_lanes_batched(
+    vol: jnp.ndarray,  # (G, D, H, W) scalar frustum volumes
+    grid: jnp.ndarray,  # (G, ..., 3) normalized (x->W, y->H, z->D)
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """`frustum_sample_lanes` for G maps via ONE flat gather.
+
+    Bit-equivalent to `jax.vmap(frustum_sample_lanes)(vol, grid)` but with
+    the G (batch*view) axis folded into the gather's row dimension: XLA
+    lowers a gather with batch dims ~8x slower than the same gather from a
+    concatenated table with offset indices (measured v5e, bench_gather2).
+    """
+    G, D, H, W = vol.shape
+    table = vol.transpose(0, 2, 3, 1).reshape(G * H * W, D)
+
+    ix = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
+    iy = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
+    iz = _unnormalize(grid[..., 2].astype(jnp.float32), D, align_corners)
+    shape = ix.shape  # (G, ...)
+    M = int(ix.size // G)
+    ix = ix.reshape(G, M)
+    iy = iy.reshape(G, M)
+    iz = iz.reshape(G, M)
+    offs = (jnp.arange(G, dtype=jnp.int32) * (H * W))[:, None]  # (G, 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    wx = ix - x0
+    wy = iy - y0
+    wz = iz - z0
+
+    acc = None
+    for dy, wyc in ((0, 1.0 - wy), (1, wy)):
+        for dx, wxc in ((0, 1.0 - wx), (1, wx)):
+            cx = x0 + dx
+            cy = y0 + dy
+            valid = (cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
+            w = jnp.where(valid, wxc * wyc, 0.0)
+            gx = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
+            gy = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
+            idx = (offs + gy * W + gx).reshape(-1)
+            rows = jnp.take(table, idx, axis=0).reshape(G, M, D)
+            contrib = rows * w[..., None]
+            acc = contrib if acc is None else acc + contrib
+
+    # linear interpolation over the lane (depth-bin) dimension via a
+    # two-nonzero selection mask
+    d_iota = jnp.arange(D, dtype=jnp.float32)[None, None, :]
+    z0c = z0[..., None]
+    lo_ok = ((z0c >= 0) & (z0c <= D - 1)).astype(jnp.float32)
+    hi_ok = ((z0c + 1 >= 0) & (z0c + 1 <= D - 1)).astype(jnp.float32)
+    sel = (
+        (d_iota == jnp.clip(z0c, 0, D - 1)) * (1.0 - wz[..., None]) * lo_ok
+        + (d_iota == jnp.clip(z0c + 1, 0, D - 1)) * wz[..., None] * hi_ok
+    )
+    out = (acc * sel).sum(axis=-1)
+    return out.reshape(shape)
+
+
 def grid_sample_3d_ones(
     vol_shape,
     grid: jnp.ndarray,

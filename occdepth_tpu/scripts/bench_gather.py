@@ -3,12 +3,18 @@
 The FLoSP lift and the OAD frustum resample are row gathers — for each of
 N=262k voxels, fetch one (C,)-row of a (R, C) table (reference SFA.py:17-43
 and flosp_depth.py:574-577).  Measured round 1: these gathers are ~36 ms of
-the 93 ms flagship forward, ~25x off memory-bound speed of light, because
+the 93 ms flagship forward, far off memory-bound speed of light, because
 XLA's TPU gather serializes rows.  This benchmark times alternatives at the
 exact flagship shapes so the winner backs `ops/flosp_gather.py` /
 `ops/grid_sample.py`.
 
-    python -m occdepth_tpu.scripts.bench_gather [--iters 10]
+Through the axon tunnel a single dispatch costs ~30-40 ms wall regardless
+of device time, so each timed call runs the gather K times inside one jit
+(index vector rotated per repeat so executions are distinct) and the
+per-gather time is (t_K - t_0) / K between two K values — pure device time,
+dispatch overhead cancelled.
+
+    python -m occdepth_tpu.scripts.bench_gather [--dtype bfloat16]
 """
 from __future__ import annotations
 
@@ -35,16 +41,40 @@ SHAPES = [
 ]
 
 
-def timeit(fn, variants, iters):
-    """Honest axon timing: distinct pre-uploaded inputs + scalar fetch."""
-    outs = fn(*variants[0])
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), outs)
-    float(jnp.sum(outs).astype(jnp.float32))
-    t0 = time.perf_counter()
-    res = [fn(*variants[i % len(variants)]) for i in range(iters)]
-    for r in res:
-        float(jnp.sum(r).astype(jnp.float32))
-    return (time.perf_counter() - t0) / iters * 1000
+def repeat_op(op, K):
+    """Run `op(table, idx)` K times inside one jit, rotating idx each time
+    so no execution is a replay, and reduce to one scalar."""
+
+    @jax.jit
+    def fn(table, idx):
+        R = table.shape[0]
+
+        def body(k, acc):
+            rot = (idx + k) % R
+            return acc + jnp.sum(op(table, rot).astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    return fn
+
+
+def timeit_amortized(op, variants, K=16, reps=4):
+    """Per-gather device ms via two-point amortization."""
+    f1 = repeat_op(op, 1)
+    fK = repeat_op(op, K)
+    float(f1(*variants[0]))
+    float(fK(*variants[0]))
+
+    def run(fn):
+        t0 = time.perf_counter()
+        outs = [fn(*variants[i % len(variants)]) for i in range(reps)]
+        for o in outs:
+            float(o)
+        return (time.perf_counter() - t0) / reps
+
+    t1 = run(f1)
+    tK = run(fK)
+    return (tK - t1) / (K - 1) * 1000
 
 
 def make_variants(rows, cols, dtype, n_var=4, seed=0):
@@ -60,36 +90,27 @@ def make_variants(rows, cols, dtype, n_var=4, seed=0):
     return out
 
 
-@jax.jit
 def xla_take(table, idx):
     return jnp.take(table, idx, axis=0)
 
 
-@jax.jit
-def xla_index(table, idx):
-    return table[idx]
-
-
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def xla_take_chunked(table, idx, chunk=8):
-    """Gather in `chunk` passes over table slabs (masked accumulation):
-    tests whether bounded table slices unlock a faster XLA path."""
+def xla_onehot_tiled(table, idx, tile=8192):
+    """Gather as one-hot matmul over table tiles (MXU instead of gather)."""
     R, C = table.shape
-    slab = -(-R // chunk)
-    out = jnp.zeros((idx.shape[0], C), table.dtype)
-    for k in range(chunk):
-        lo = k * slab
-        sl = jax.lax.dynamic_slice_in_dim(table, lo, min(slab, R - lo), 0)
-        local = idx - lo
-        hit = (local >= 0) & (local < sl.shape[0])
-        safe = jnp.where(hit, local, 0)
-        out = out + jnp.where(hit[:, None], jnp.take(sl, safe, axis=0), 0)
-    return out
+    Nv = idx.shape[0]
+    idxr = idx.reshape(-1, tile)
+
+    def per_chunk(ic):
+        oh = jax.nn.one_hot(ic, R, dtype=table.dtype)  # (tile, R)
+        return jnp.dot(oh, table, preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(per_chunk, idxr)
+    return out.reshape(Nv, C).astype(table.dtype)
 
 
-def pallas_gather(table, idx, tile=2048):
-    """Pallas: table resident in VMEM, grid over index tiles, vector gather
-    in-kernel (Mosaic dynamic-gather lowering)."""
+def pallas_gather(table, idx, tile=4096):
+    """Pallas: table resident in VMEM, grid over index tiles, lane-wise
+    dynamic gather (take_along_axis) in-kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -97,35 +118,8 @@ def pallas_gather(table, idx, tile=2048):
     T = idx.shape[0]
 
     def kernel(idx_ref, table_ref, out_ref):
-        out_ref[:] = jnp.take(table_ref[:], idx_ref[:], axis=0)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(T // tile,),
-        in_specs=[
-            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, C), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, C), table.dtype),
-    )(idx, table)
-
-
-def pallas_gather_loop(table, idx, tile=1024):
-    """Pallas: fori_loop of per-row dynamic slices (latency reference)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    R, C = table.shape
-    T = idx.shape[0]
-
-    def kernel(idx_ref, table_ref, out_ref):
-        def body(i, _):
-            out_ref[pl.ds(i, 1), :] = table_ref[pl.ds(idx_ref[i], 1), :]
-            return 0
-
-        jax.lax.fori_loop(0, tile, body, 0)
+        ids = jnp.broadcast_to(idx_ref[:][:, None], (tile, C))
+        out_ref[:] = jnp.take_along_axis(table_ref[:], ids, axis=0)
 
     return pl.pallas_call(
         kernel,
@@ -142,43 +136,33 @@ def pallas_gather_loop(table, idx, tile=1024):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--repeats", type=int, default=16)
     args = ap.parse_args()
     enable()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     for name, rows, cols in SHAPES:
         variants = make_variants(rows, cols, dtype)
-        bytes_out = N * cols * np.dtype(
-            np.float32 if dtype == jnp.float32 else np.float16).itemsize
+        bytes_out = N * cols * (2 if dtype == jnp.bfloat16 else 4)
         print(f"\n{name}: table ({rows}, {cols}) {args.dtype}, "
               f"{N} rows gathered ({bytes_out / 1e6:.1f} MB out)")
-        for label, fn in [
-            ("xla take", xla_take),
-            ("xla index", xla_index),
-            ("xla chunked8", lambda t, i: xla_take_chunked(t, i, chunk=8)),
-        ]:
+        cands = [("xla take", xla_take)]
+        if rows <= 30000:
+            cands.append(("onehot mm", xla_onehot_tiled))
+        vmem_mb = rows * cols * (2 if dtype == jnp.bfloat16 else 4) / 1e6
+        if vmem_mb < 12:
+            cands.append(
+                ("pallas vec",
+                 functools.partial(pallas_gather))
+            )
+        for label, fn in cands:
             try:
-                t = timeit(fn, variants, args.iters)
-                print(f"  {label:18s} {t:7.2f} ms  "
+                t = timeit_amortized(fn, variants, K=args.repeats)
+                print(f"  {label:18s} {t:7.3f} ms/gather  "
                       f"({bytes_out / t / 1e6:.1f} GB/s out)")
             except Exception as e:  # noqa: BLE001
-                print(f"  {label:18s} FAILED: {str(e)[:120]}")
-        vmem_mb = rows * cols * (2 if dtype == jnp.bfloat16 else 4) / 1e6
-        if vmem_mb < 14:
-            for label, fn in [
-                ("pallas vec", jax.jit(pallas_gather)),
-                ("pallas loop", jax.jit(pallas_gather_loop)),
-            ]:
-                try:
-                    t = timeit(fn, variants, args.iters)
-                    print(f"  {label:18s} {t:7.2f} ms  "
-                          f"({bytes_out / t / 1e6:.1f} GB/s out)")
-                except Exception as e:  # noqa: BLE001
-                    print(f"  {label:18s} FAILED: {str(e)[:120]}")
-        else:
-            print(f"  (pallas skipped: table {vmem_mb:.1f} MB > VMEM)")
+                print(f"  {label:18s} FAILED: {str(e)[:140]}")
 
 
 if __name__ == "__main__":
