@@ -80,9 +80,12 @@ def main():
     from occdepth_tpu.utils.compilation_cache import enable
 
     enable()
+    import sys
+
     best = 0.0
     for bs in (1, 4, 8):
         fps = _throughput(bs)
+        print(f"  bs={bs}: {fps:.2f} fps", file=sys.stderr)
         best = max(best, fps)
     print(json.dumps({
         "metric": "semantickitti_stereo_inference_fps_per_chip",

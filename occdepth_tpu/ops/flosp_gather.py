@@ -9,11 +9,13 @@ out-of-FOV pattern points equal HW, so the gather itself needs no branch —
 exactly the reference's `torch.cat([src, zeros], 1)` trick, but vectorized
 over pattern points and views instead of a python loop.
 
-Measured (v5e): XLA lowers a gather with *batch dims* (vmap over views or
-batch) ~8x slower than the same gather with the batch folded into the row
-dimension (5.1 ms vs 0.7 ms for 2x262k rows of a (451k, 32) bf16 table), so
-`flosp_gather_flat` gathers all (batch, view) maps from ONE concatenated
-table with offset indices — no vmap anywhere near the gather.
+Measured (v5e, bench_gather2): XLA's TPU gather is fast only below a size
+cliff — 262k rows from a (451k, 32) bf16 table takes 0.11 ms, but doubling
+EITHER the index count or the table rows costs 12-25x (2N from 2R: 5.3 ms),
+and a gather with batch dims (what vmap produces) is equally bad.  So
+`flosp_gather_flat` statically unrolls the (batch, view) maps into
+independent single-map takes — each stays under the cliff — instead of
+vmapping or folding everything into one giant table.
 """
 from __future__ import annotations
 
@@ -53,16 +55,27 @@ def flosp_gather_flat(
     Returns ((B, V, N, C) float32 per-voxel means, (B, V, N) float32 valid).
     """
     B, V, h, w, C = x2d.shape
+    N, P = pix.shape[2], pix.shape[3]
     idx = pix[..., 1] * w + pix[..., 0]  # (B, V, N, P)
-    offs = (jnp.arange(B * V, dtype=jnp.int32) * (h * w)).reshape(B, V, 1, 1)
-    sentinel = B * V * h * w
-    idx = jnp.where(fov_mask, idx + offs, sentinel).astype(jnp.int32)
+    idx = jnp.where(fov_mask, idx, h * w).astype(jnp.int32)
 
-    flat = x2d.reshape(B * V * h * w, C)
-    flat = jnp.concatenate([flat, jnp.zeros((1, C), flat.dtype)], axis=0)
-    gathered = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-        idx.shape + (C,)
-    )  # (B, V, N, P, C)
+    per_map = []
+    for b in range(B):
+        for v in range(V):
+            flat = x2d[b, v].reshape(h * w, C)
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((1, C), flat.dtype)], axis=0)
+            per_map.append(
+                jnp.take(flat, idx[b, v].reshape(-1), axis=0)
+            )
+    gathered = jnp.stack(per_map).reshape(B, V, N, P, C)
+    if P == 1:
+        # single-point pattern (pattern_id 0, the flagship): the mean over
+        # in-FOV points is the gathered value itself (sentinel rows are
+        # exact zeros), so no counts/divide arithmetic is needed
+        feats = gathered[:, :, :, 0].astype(jnp.float32)
+        valid = fov_mask[..., 0].astype(jnp.float32)
+        return feats, valid
     total = gathered.astype(jnp.float32).sum(axis=3)  # (B, V, N, C)
     counts = fov_mask.sum(axis=-1).astype(jnp.float32)  # (B, V, N)
     denom = jnp.where(counts > 0, counts, 1.0)[..., None]

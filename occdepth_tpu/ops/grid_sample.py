@@ -137,15 +137,16 @@ def frustum_sample_lanes_batched(
     grid: jnp.ndarray,  # (G, ..., 3) normalized (x->W, y->H, z->D)
     align_corners: bool = False,
 ) -> jnp.ndarray:
-    """`frustum_sample_lanes` for G maps via ONE flat gather.
+    """`frustum_sample_lanes` for G maps, gathers statically unrolled.
 
-    Bit-equivalent to `jax.vmap(frustum_sample_lanes)(vol, grid)` but with
-    the G (batch*view) axis folded into the gather's row dimension: XLA
-    lowers a gather with batch dims ~8x slower than the same gather from a
-    concatenated table with offset indices (measured v5e, bench_gather2).
+    Bit-equivalent to `jax.vmap(frustum_sample_lanes)(vol, grid)`, but the
+    row gathers are issued per map: XLA's TPU gather has a hard size cliff —
+    batched gathers (vmap) and takes whose index count exceeds ~262k rows
+    are 12-25x slower than the same rows fetched as independent single-map
+    takes (measured v5e, bench_gather2).
     """
     G, D, H, W = vol.shape
-    table = vol.transpose(0, 2, 3, 1).reshape(G * H * W, D)
+    tables = vol.transpose(0, 2, 3, 1).reshape(G, H * W, D)
 
     ix = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
     iy = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
@@ -155,7 +156,6 @@ def frustum_sample_lanes_batched(
     ix = ix.reshape(G, M)
     iy = iy.reshape(G, M)
     iz = iz.reshape(G, M)
-    offs = (jnp.arange(G, dtype=jnp.int32) * (H * W))[:, None]  # (G, 1)
 
     x0 = jnp.floor(ix)
     y0 = jnp.floor(iy)
@@ -173,8 +173,10 @@ def frustum_sample_lanes_batched(
             w = jnp.where(valid, wxc * wyc, 0.0)
             gx = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
             gy = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
-            idx = (offs + gy * W + gx).reshape(-1)
-            rows = jnp.take(table, idx, axis=0).reshape(G, M, D)
+            idx = gy * W + gx  # (G, M)
+            rows = jnp.stack([
+                jnp.take(tables[g], idx[g], axis=0) for g in range(G)
+            ])  # (G, M, D)
             contrib = rows * w[..., None]
             acc = contrib if acc is None else acc + contrib
 

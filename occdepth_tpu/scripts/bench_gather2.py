@@ -45,8 +45,26 @@ def main():
                  -1).astype(np.int32))
     fovm = jnp.asarray(rs.rand(2, N, 1) < 0.45)
 
+    tableL = jnp.asarray(rs.randn(2 * R + 1, C).astype(np.float32), dtype)
+    idx2N_small = jnp.asarray(rs.randint(0, R, size=(2 * N,)).astype(np.int32))
+    idx2N_large = jnp.asarray(
+        rs.randint(0, 2 * R, size=(2 * N,)).astype(np.int32))
+    idxN_large = jnp.asarray(
+        rs.randint(0, 2 * R, size=(N,)).astype(np.int32))
+
+    from occdepth_tpu.ops.flosp_gather import flosp_gather_flat
+    x2d_bv = x2d2[None]  # (1, 2, H, W, C)
+
     cases = [
         ("take (N,) idx", lambda t: jnp.take(t, idx1, axis=0), table),
+        ("take 2N from R table", lambda t: jnp.take(t, idx2N_small, axis=0),
+         table),
+        ("take N from 2R table", lambda t: jnp.take(t, idxN_large, axis=0),
+         tableL),
+        ("take 2N from 2R table", lambda t: jnp.take(t, idx2N_large, axis=0),
+         tableL),
+        ("flat gather full (1,2,...)",
+         lambda x: flosp_gather_flat(x, pix[None], fovm[None])[0], x2d_bv),
         ("take (N,1) idx", lambda t: jnp.take(t, idx1p, axis=0), table),
         ("take (N,) -> reshape(N,1,C)",
          lambda t: jnp.take(t, idx1, axis=0).reshape(N, 1, C), table),
