@@ -128,6 +128,10 @@ class OccDepthConfig:
     # than XLA's fused lowering for these shapes on v5e, so off by default
     # (kept as a tested capability / for other shapes).
     use_pallas: bool = False
+    # 2D-decoder 3x3 conv path: "auto" (shifted-matmul/Pallas on TPU,
+    # XLA conv elsewhere — see ops/conv2d_shift.py), or force one of
+    # "xla" | "shift" | "pallas".
+    decoder_conv_impl: str = "auto"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     remat_backbone: bool = False  # jax.checkpoint the per-view 2D backbone

@@ -43,8 +43,15 @@ def ce_ssc_loss(
     valid = target != 255
     t = jnp.where(valid, target, 0).astype(jnp.int32)
     logp = _log_softmax(logits)
-    nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
-    w = jnp.take(class_weights.astype(jnp.float32), t)
+    # gather-free: take_along_axis over millions of 1-element rows (and
+    # its scatter-add backward) hits the TPU gather cliff; a one-hot
+    # multiply-reduce is pure VPU traffic and fuses into the softmax
+    C = logits.shape[-1]
+    onehot = (
+        t[..., None] == jnp.arange(C, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    nll = -(logp * onehot).sum(axis=-1)
+    w = onehot @ class_weights.astype(jnp.float32)
     w = jnp.where(valid, w, 0.0)
     return (w * nll).sum() / jnp.maximum(w.sum(), 1e-12)
 

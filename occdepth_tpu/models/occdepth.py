@@ -94,6 +94,7 @@ class OccDepthModel(nn.Module):
             out_feature=cfg.feature_2d_oc,
             return_up_feats=cfg.return_up_feats,
             dtype=dtype,
+            conv_impl=getattr(cfg, "decoder_conv_impl", "auto"),
             name="net_rgb",
         )
         flat = img.reshape((B * V,) + img.shape[2:]).astype(dtype)

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the 2D backbone (fits batch 2)")
     ap.add_argument("--json", action="store_true",
                     help="emit one JSON line (artifact format)")
     args = ap.parse_args()
@@ -35,6 +37,7 @@ def main():
 
     cfg = OccDepthConfig(
         dataset="kitti", use_stereo_depth_gt=True, compute_dtype=args.dtype,
+        remat_backbone=args.remat,
     )
     batch = make_synthetic_batch(cfg, batch_size=args.batch, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
@@ -86,6 +89,7 @@ def main():
 
         print(json.dumps({
             "metric": "semantickitti_flagship_train_step_device",
+            "remat_backbone": args.remat,
             "value": round(dt * 1000, 1),
             "unit": "ms/step",
             "frames_per_sec_per_chip": round(args.batch / dt, 3),

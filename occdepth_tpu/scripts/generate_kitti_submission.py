@@ -51,14 +51,22 @@ def main():
         out = forward(variables, strip_metadata(batch))
         y_pred = np.asarray(jnp.argmax(out["ssc_logit"], axis=-1))
         for i, frame_id in enumerate(frame_ids):
-            pred = inv_map[y_pred[i].reshape(-1)].astype(np.uint16)
-            out_dir = os.path.join(
-                args.output_dir, "sequences", sequences[i], "predictions"
+            path = write_prediction(
+                args.output_dir, sequences[i], frame_id, y_pred[i], inv_map
             )
-            os.makedirs(out_dir, exist_ok=True)
-            path = os.path.join(out_dir, frame_id + ".label")
-            pred.tofile(path)
             print("wrote", path)
+
+
+def write_prediction(output_dir: str, sequence: str, frame_id: str,
+                     y_pred: np.ndarray, inv_map: np.ndarray) -> str:
+    """Map train ids back to raw label ids and write one CodaLab-layout
+    uint16 `.label` file (reference generate_kitti_submission.py:62-85)."""
+    pred = inv_map[np.asarray(y_pred).reshape(-1)].astype(np.uint16)
+    out_dir = os.path.join(output_dir, "sequences", sequence, "predictions")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, frame_id + ".label")
+    pred.tofile(path)
+    return path
 
 
 if __name__ == "__main__":

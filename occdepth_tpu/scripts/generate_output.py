@@ -43,9 +43,15 @@ def main():
     if restored is not None:
         state = jax.tree_util.tree_map(jnp.asarray, restored)
 
-    forward = make_forward(cfg)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    for path in dump_records(cfg, variables, loader, args.output_dir):
+        print("wrote", path)
 
+
+def dump_records(cfg, variables, loader, output_dir):
+    """Inference loop -> per-frame visualizer pickles (reference
+    generate_output.py:86-134).  Yields each written path."""
+    forward = make_forward(cfg)
     for batch in loader:
         frame_ids = batch["frame_id"]
         sequences = batch["sequence"]
@@ -69,11 +75,11 @@ def main():
                     np.asarray(batch["T_velo_2_cam"][i, 0], np.float64)
                 )
             out_path = os.path.join(
-                args.output_dir, f"{sequences[i]}_{frame_id}.pkl"
+                output_dir, f"{sequences[i]}_{frame_id}.pkl"
             )
             with open(out_path, "wb") as f:
                 pickle.dump(record, f)
-            print("wrote", out_path)
+            yield out_path
 
 
 if __name__ == "__main__":

@@ -191,3 +191,62 @@ def test_full_model_depth_pred_parity(full_parity_setup):
         ref["depth_pred"].numpy(),
         atol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# NYU virtual-stereo path (the second released-checkpoint config)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nyu_parity_setup():
+    from occdepth_tpu.testing import tiny_nyu_config
+    from tests.torch_oracle import TorchOccDepthNYU
+
+    cfg = tiny_nyu_config()
+    batch = make_synthetic_batch(cfg, batch_size=2, seed=21)
+
+    torch.manual_seed(13)
+    oracle = TorchOccDepthNYU(cfg).eval()
+    randomize_bn(oracle, seed=13)
+
+    t = lambda x: torch.from_numpy(np.asarray(x))
+    with torch.no_grad():
+        ref = oracle(
+            t(batch["img"]).permute(0, 1, 4, 2, 3).contiguous(),
+            t(batch["projected_pix"]).long(),
+            t(batch["fov_mask"]),
+            t(batch["gt_depth"]),
+            float(np.asarray(batch["virtual_bf"]).reshape(-1)[0]),
+        )
+
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params, stats, missing = convert_state_dict(sd, cfg)
+    assert not missing, missing[:10]
+
+    model = OccDepthModel(cfg=cfg)
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, batch, train=False
+    )
+    return ref, out
+
+
+def test_nyu_full_model_ssc_logit_parity(nyu_parity_setup):
+    """End-to-end NYU logits: backbone -> virtual-stereo warp -> Stereo-SFA
+    (NYU axis permute) -> UNet3D-NYU + CRP + cascade, through the converter."""
+    ref, out = nyu_parity_setup
+    got = np.asarray(out["ssc_logit"]).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got, ref["ssc_logit"].numpy(), atol=2e-3)
+
+
+def test_nyu_full_model_occ_logit_parity(nyu_parity_setup):
+    ref, out = nyu_parity_setup
+    got = np.asarray(out["occ_logit"]).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got, ref["occ_logit"].numpy(), atol=2e-3)
+
+
+def test_nyu_full_model_p_logits_parity(nyu_parity_setup):
+    ref, out = nyu_parity_setup
+    np.testing.assert_allclose(
+        np.asarray(out["P_logits"]), ref["P_logits"].numpy(), atol=2e-3
+    )

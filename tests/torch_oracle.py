@@ -906,3 +906,117 @@ def randomize_bn(mod, seed=0):
             m.weight.data = torch.randn(
                 m.weight.shape, generator=g) * 0.2 + 1.0
             m.bias.data = torch.randn(m.bias.shape, generator=g) * 0.1
+
+
+class TorchUNet3DNYU(nn.Module):
+    """UNet3D NYU (unet3d_nyu.py:16-110) with reference naming."""
+
+    def __init__(self, n_classes, feature, full_scene_size,
+                 context_prior=True, n_relations=4, bn_momentum=0.1):
+        super().__init__()
+        self.process_1_4 = nn.Sequential(
+            TorchProcess(feature, bn_momentum),
+            TorchDownsample(feature, bn_momentum),
+        )
+        self.process_1_8 = nn.Sequential(
+            TorchProcess(feature * 2, bn_momentum),
+            TorchDownsample(feature * 2, bn_momentum),
+        )
+        self.up_1_16_1_8 = TorchUpsample3D(feature * 4, feature * 2,
+                                           bn_momentum)
+        self.up_1_8_1_4 = TorchUpsample3D(feature * 2, feature, bn_momentum)
+        self.ssc_head_1_4 = TorchSegHeadCascade(feature, n_classes)
+        self.context_prior = context_prior
+        if context_prior:
+            size_1_16 = tuple(-(-s // 4) for s in full_scene_size)
+            self.CP_mega_voxels = TorchCPMegaVoxels(
+                feature * 4, size_1_16, n_relations=n_relations,
+                bn_momentum=bn_momentum,
+            )
+
+    def forward(self, x3d_1_4):
+        res = {}
+        x3d_1_8 = self.process_1_4(x3d_1_4)
+        x3d_1_16 = self.process_1_8(x3d_1_8)
+        if self.context_prior:
+            ret = self.CP_mega_voxels(x3d_1_16)
+            x3d_1_16 = ret["x"]
+            res.update(ret)
+        x3d_up_1_8 = self.up_1_16_1_8(x3d_1_16) + x3d_1_8
+        x3d_up_1_4 = self.up_1_8_1_4(x3d_up_1_8) + x3d_1_4
+        ssc_logit, occ_logit = self.ssc_head_1_4(x3d_up_1_4)
+        res["ssc_logit"] = ssc_logit
+        res["occ_logit"] = occ_logit
+        return res
+
+
+def torch_virtual_view(x_scale, depth_mat, scale_2d, bf):
+    """Virtual right-view warp (OccDepth.generate_virtual_img semantics,
+    OccDepth.py:233-260): bilinear-resized disparity, `arange(-1, 1, 2/n)`
+    grid (NOT grid_sample centres), sample 0's disparity broadcast over the
+    batch, border padding."""
+    n_bs, c, h, w = x_scale.shape
+    depth_scale = nn.functional.interpolate(
+        depth_mat, size=(h, w), mode="bilinear", align_corners=False
+    )
+    grid_dx = (bf / int(scale_2d)) / depth_scale
+    grid_dx = torch.where(
+        torch.isinf(grid_dx), torch.zeros_like(grid_dx), grid_dx
+    ) * (2.0 / w)
+    h_d = torch.arange(-1, 1, 2 / h)
+    w_d = torch.arange(-1, 1, 2 / w)
+    meshx, meshy = torch.meshgrid((h_d, w_d))
+    grid = torch.stack(
+        [torch.stack((meshy, meshx), dim=2)] * n_bs
+    ).type_as(grid_dx)
+    grid[:, :, :, 0] = grid[:, :, :, 0] + grid_dx[0, 0]
+    return nn.functional.grid_sample(
+        x_scale, grid, mode="bilinear", padding_mode="border",
+        align_corners=False,
+    )
+
+
+class TorchOccDepthNYU(nn.Module):
+    """Whole-network oracle for the NYU RGB-D flosp+CRP+cascade config
+    (virtual stereo path, OccDepth.py:222-260 + 344-376)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.net_rgb = TorchUNet2D(
+            cfg.backbone_2d_name, cfg.feature_2d_oc, cfg.return_up_feats
+        )
+        self.net_3d_decoder = TorchUNet3DNYU(
+            cfg.n_classes, cfg.feature, cfg.full_scene_size,
+            context_prior=cfg.context_prior, n_relations=cfg.n_relations,
+        )
+
+    def forward(self, img, projected_pix, fov_mask, gt_depth, virtual_bf):
+        """img (B, 1, 3, H, W); pix/fov include the virtual view (B, 2, ...)."""
+        cfg = self.cfg
+        B = img.shape[0]
+        left = self.net_rgb(img[:, 0])
+        virt = {
+            f"1_{s}": torch_virtual_view(
+                left[f"1_{s}"], gt_depth, s, virtual_bf
+            )
+            for s in cfg.project_res
+        }
+        x_rgb = [left, virt]
+
+        scene_dims = tuple(s // cfg.project_scale
+                           for s in cfg.full_scene_size)
+        x3ds = []
+        for i in range(B):
+            x3d = None
+            for scale in cfg.project_res:
+                x2d = torch.stack(
+                    [x_rgb[v][f"1_{scale}"][i] for v in range(2)]
+                )
+                pix = torch.div(
+                    projected_pix[i], scale, rounding_mode="floor"
+                ) if scale > 1 else projected_pix[i]
+                lifted = torch_sfa(x2d, pix, fov_mask[i], scene_dims, "NYU")
+                x3d = lifted if x3d is None else x3d + lifted
+            x3ds.append(x3d)
+        return self.net_3d_decoder(torch.stack(x3ds))
