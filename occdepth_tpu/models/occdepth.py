@@ -200,7 +200,29 @@ class OccDepthModel(nn.Module):
                 dtype=dtype,
                 name="net_3d_decoder",
             )
-        net_out = net3d(x3d.astype(dtype), train=train)
+        x3d = x3d.astype(dtype)
+        if not train and B > 1 and jax.device_count() == 1:
+            # XLA's layout assignment goes pathological on the full-scale
+            # 3D tensors at batch >= 2 (measured 12.6 -> 149 ms for the 3D
+            # UNet at batch 2: multi-GB lane-padded copies around the
+            # transpose-conv/head stages; every individual conv is fast at
+            # either batch).  Unrolling the decoder per sample keeps every
+            # sub-graph at the known-good batch-1 shapes; the module
+            # instance is called repeatedly so parameters are shared, and
+            # eval-mode BN is frozen so the math is identical.  Training
+            # keeps the batched call (per-chip batch is 1 under DP), and
+            # multi-device meshes keep it too — slicing a data-sharded
+            # batch per sample would make GSPMD replicate the decoder
+            # instead of partitioning it.
+            per_sample = [
+                net3d(x3d[i: i + 1], train=False) for i in range(B)
+            ]
+            net_out = {
+                k: jnp.concatenate([o[k] for o in per_sample], axis=0)
+                for k in per_sample[0]
+            }
+        else:
+            net_out = net3d(x3d, train=train)
         for k, v in net_out.items():
             out[k] = v.astype(jnp.float32) if k.endswith("logit") else v
         if "P_logits" in net_out:

@@ -58,3 +58,31 @@ def test_nyu_forward_shapes():
     assert out["ssc_logit"].shape == (2, X, Y, Z, cfg.n_classes)
     assert out["occ_logit"].shape == (2, X, Y, Z, 2)
     assert np.isfinite(np.asarray(out["ssc_logit"])).all()
+
+
+def test_eval_batch_unroll_matches_batched(monkeypatch):
+    """The single-device eval-time per-sample 3D-decoder unroll
+    (models/occdepth.py — works around an XLA layout pathology at
+    batch >= 2) must reproduce the batched outputs exactly."""
+    import jax
+    import numpy as np
+
+    from occdepth_tpu.data.batch import make_synthetic_batch
+    from occdepth_tpu.models import OccDepthModel
+    from occdepth_tpu.testing import tiny_kitti_config
+
+    cfg = tiny_kitti_config()
+    batch = make_synthetic_batch(cfg, batch_size=2, seed=31)
+    model = OccDepthModel(cfg=cfg)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(4), batch, train=False
+    )
+    batched = model.apply(variables, batch, train=False)
+    monkeypatch.setattr(jax, "device_count", lambda backend=None: 1)
+    unrolled = model.apply(variables, batch, train=False)
+    assert set(batched) == set(unrolled)
+    for k in batched:
+        np.testing.assert_allclose(
+            np.asarray(unrolled[k]), np.asarray(batched[k]),
+            atol=1e-5, rtol=1e-5, err_msg=k,
+        )
