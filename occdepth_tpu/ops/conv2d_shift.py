@@ -206,3 +206,115 @@ class Conv3x3Fast(nn.Module):
         if bias is not None:
             y = y + bias.astype(dtype)
         return y
+
+
+# ---------------------------------------------------------------------------
+# X3 variant: dc taps folded into lanes, dr taps sublane-ALIGNED
+# ---------------------------------------------------------------------------
+
+def _conv_x3_kernel(x_hbm, w_ref, b_ref, out_ref, xbuf, sems, *,
+                    tm, wp, buf_rows, n_tiles, n_steps):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    step = bi * n_tiles + ti
+    slot = jax.lax.rem(step, 2)
+
+    def start(s, b2, t2):
+        pltpu.make_async_copy(
+            x_hbm.at[b2, pl.ds(t2 * tm, buf_rows), :],
+            xbuf.at[s], sems.at[s],
+        ).start()
+
+    @pl.when(step == 0)
+    def _():
+        start(0, bi, ti)
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        nxt = step + 1
+        start(jax.lax.rem(nxt, 2), nxt // n_tiles, jax.lax.rem(nxt, n_tiles))
+
+    pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(ti * tm, buf_rows), :], xbuf.at[slot],
+        sems.at[slot],
+    ).wait()
+
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    for dr in range(3):
+        acc = acc + jnp.dot(
+            xbuf[slot, pl.ds(dr * wp, tm), :], w_ref[dr],
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = (acc + b_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def conv3x3_pallas_x3(x: jnp.ndarray, w: jnp.ndarray,
+                      b: jnp.ndarray | None = None, block_rows: int = 6144,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Aligned-tap Pallas conv: the horizontal (dc) taps are folded into
+    the lane dimension by concatenating three row-shifted copies of the
+    flattened padded image (X3[j] = [X[j], X[j+1], X[j+2]], 3*Ci lanes),
+    and the image width is padded so the remaining vertical (dr) taps land
+    on sublane-aligned offsets dr*Wp — the misaligned +-1 slices that
+    forced relayouts in `conv3x3_pallas` disappear; the kernel is three
+    aligned (tm, 3Ci) @ (3Ci, Co) MXU dots per tile.
+
+    Same contract as conv3x3_shift / nn.Conv(features, (3,3), padding=1).
+    """
+    B, H, W, Ci = x.shape
+    Co = w.shape[-1]
+    w = w.astype(x.dtype)
+    # pad width so Wp (and hence every dr*Wp tap offset) is 16-aligned
+    Wp = -(-(W + 2) // 16) * 16
+    extra = Wp - (W + 2)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + extra), (0, 0)))
+    M0 = (H + 2) * Wp
+    X = xp.reshape(B, M0, Ci)
+    M = H * Wp  # output rows (garbage columns sliced at the end)
+
+    # lane-concat of the three horizontal taps (one fused XLA copy)
+    Xs = jnp.pad(X, ((0, 0), (0, 2), (0, 0)))
+    X3 = jnp.concatenate(
+        [Xs[:, 0:M0], Xs[:, 1:M0 + 1], Xs[:, 2:M0 + 2]], axis=-1
+    )  # (B, M0, 3*Ci)
+
+    tm = -(-min(block_rows, M) // 16) * 16
+    n_tiles = -(-M // tm)
+    buf_rows = tm + 2 * Wp
+    rows_needed = n_tiles * tm + buf_rows
+    if X3.shape[1] < rows_needed:
+        X3 = jnp.pad(X3, ((0, 0), (0, rows_needed - X3.shape[1]), (0, 0)))
+    w3 = w.reshape(3, 3 * Ci, Co)  # w3[dr] rows = [w[dr,0]; w[dr,1]; w[dr,2]]
+    bias = (b if b is not None else jnp.zeros((Co,), jnp.float32))
+    bias = bias.reshape(1, Co).astype(jnp.float32)
+
+    n_steps = B * n_tiles
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_x3_kernel, tm=tm, wp=Wp, buf_rows=buf_rows,
+            n_tiles=n_tiles, n_steps=n_steps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tm, Co), x.dtype),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3 * Ci, Co), lambda b2, t2: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Co), lambda b2, t2: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, Co), lambda b2, t2: (b2, t2, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, buf_rows, 3 * Ci), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * 9 * Ci * Co,
+            bytes_accessed=X3.size * X3.dtype.itemsize
+            + B * M * Co * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(X3, w3, bias)
+    return out[:, :M].reshape(B, H, Wp, Co)[:, :, :W]

@@ -61,3 +61,18 @@ def test_conv3x3_shift_grad_matches_conv(rng):
     for a, c in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_conv3x3_pallas_x3_interpret_matches_conv(shape, rng):
+    """Aligned-tap X3 variant (dc taps in lanes): exact vs the conv oracle."""
+    from occdepth_tpu.ops.conv2d_shift import conv3x3_pallas_x3
+
+    B, H, W, Ci, Co = shape
+    x = jnp.asarray(rng.randn(B, H, W, Ci), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Ci, Co), jnp.float32)
+    b = jnp.asarray(rng.randn(Co), jnp.float32)
+    got = conv3x3_pallas_x3(x, w, b, block_rows=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_oracle(x, w, b)), atol=1e-4, rtol=1e-5,
+    )
