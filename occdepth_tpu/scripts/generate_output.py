@@ -48,6 +48,25 @@ def main():
         print("wrote", path)
 
 
+def full_scale_fov(cfg, cam_k, T_velo_2_cam, vox_origin=None):
+    """Output-scale (1_1) FOV mask for one camera — what the reference's
+    `fov_mask_1` is (kitti_dataset.py:258-284 at scale 1).  The model
+    batch only carries the project-scale mask, which has 1/8 the voxels
+    of y_pred and would not reshape onto it in the visualizers."""
+    from occdepth_tpu.data.batch import vox_origin_for
+    from occdepth_tpu.geometry.projection import vox2pix
+
+    origin = vox_origin if vox_origin is not None else vox_origin_for(cfg)
+    H, W = cfg.img_shape
+    _, fov, _ = vox2pix(
+        np.asarray(T_velo_2_cam, np.float64), np.asarray(cam_k, np.float64),
+        np.asarray(origin, np.float64),
+        cfg.voxel_size_meters * cfg.output_scale, W, H,
+        cfg.scene_size_meters, 0,
+    )
+    return fov[:, 0]
+
+
 def dump_records(cfg, variables, loader, output_dir):
     """Inference loop -> per-frame visualizer pickles (reference
     generate_output.py:86-134).  Yields each written path."""
@@ -59,9 +78,16 @@ def dump_records(cfg, variables, loader, output_dir):
         out = forward(variables, model_batch)
         y_pred = np.asarray(jnp.argmax(out["ssc_logit"], axis=-1))
         for i, frame_id in enumerate(frame_ids):
+            vox_origin = (
+                np.asarray(batch["vox_origin"][i])
+                if "vox_origin" in batch else None
+            )
             record = {
                 "y_pred": y_pred[i].astype(np.uint8),
-                "fov_mask_1": np.asarray(batch["fov_mask"][i, 0]).any(-1),
+                "fov_mask_1": full_scale_fov(
+                    cfg, batch["cam_k"][i, 0], batch["T_velo_2_cam"][i, 0],
+                    vox_origin,
+                ),
                 "cam_k": np.asarray(batch["cam_k"][i, 0]),
                 "T_velo_2_cam": np.asarray(batch["T_velo_2_cam"][i, 0]),
             }

@@ -168,4 +168,49 @@ def test_generate_output_records(tmp_path):
     assert rec["target"].shape == (X, Y, Z)
     assert rec["cam_k"].shape == (3, 3)
     assert rec["T_velo_2_cam"].shape == (4, 4)
+    # full-scale (1_1) fov — must reshape onto y_pred in the visualizers
+    # (the model batch only carries the project-scale mask)
     assert rec["fov_mask_1"].dtype == bool
+    assert rec["fov_mask_1"].size == rec["y_pred"].size
+
+
+def test_infer_cli_single_frame(tmp_path, rng, monkeypatch):
+    """Ad-hoc inference CLI: stereo PNGs + calib.txt -> pickle + render,
+    no dataset tree, no checkpoint (random weights with a warning)."""
+    from PIL import Image
+
+    from occdepth_tpu.scripts import infer
+
+    H, W = 64, 96
+    for name in ("l.png", "r.png"):
+        Image.fromarray(
+            (rng.rand(H + 4, W + 8, 3) * 255).astype(np.uint8)
+        ).save(tmp_path / name)
+    f = 0.9 * W
+    with open(tmp_path / "calib.txt", "w") as fh:
+        fh.write(f"P2: {f} 0 {W/2} 0 0 {f} {H/2} 0 0 0 1 0\n")
+        fh.write(f"P3: {f} 0 {W/2} {-0.5*f} 0 {f} {H/2} 0 0 0 1 0\n")
+        fh.write("Tr: 0 -1 0 0 0 0 -1 0 1 0 0 -0.27\n")
+
+    out_pkl = tmp_path / "pred.pkl"
+    out_png = tmp_path / "pred.png"
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "--config",
+        "occdepth_tpu/configs/semantic_kitti/multicam_flospdepth_crp_stereodepth_cascadecls.yaml",
+        "--left", str(tmp_path / "l.png"), "--right", str(tmp_path / "r.png"),
+        "--calib", str(tmp_path / "calib.txt"),
+        "--output", str(out_pkl), "--render", str(out_png),
+        "--ckpt", "nonexistent",
+        # tiny geometry overrides (CPU-sized; flosp avoids the
+        # flosp_depth conf override that YAML cannot express)
+        "trans_2d_to_3d=flosp", "full_scene_size=[32,32,16]",
+        "scene_size_m=[6.4,6.4,3.2]", "voxel_size_m=0.2",
+        f"img_shape_hw=[{H},{W}]", "feature=16", "feature_2d_oc=16",
+        "compute_dtype=float32", f"logdir={tmp_path}/logdir",
+    ])
+    infer.main()
+    with open(out_pkl, "rb") as fh:
+        rec = pickle.load(fh)
+    assert rec["y_pred"].shape == (32, 32, 16)
+    assert rec["fov_mask_1"].size == rec["y_pred"].size
+    assert out_png.stat().st_size > 1000
