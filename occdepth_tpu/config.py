@@ -84,6 +84,14 @@ class OccDepthConfig:
     batch_size_per_gpu: int = 1
     n_gpus: int = 1  # kept for schema parity; on TPU = number of data shards
     num_workers_per_gpu: int = 0
+    # Lightning Trainer(accumulate_grad_batches=...): average grads over K
+    # microbatches before one optimizer step (the reference exposes the
+    # knob through Lightning; configs ship with 1)
+    accumulate_grad_batches: int = 1
+    # TPU multi-slice data parallelism: >1 builds a ("dcn", "data") hybrid
+    # mesh — in-slice gradient reductions ride ICI, the cross-slice hop
+    # rides DCN (no reference equivalent; NCCL DDP is single-tier)
+    n_slices: int = 1
     exp_prefix: str = "exp"
     run: int = 1
     lr: float = 2e-4

@@ -277,6 +277,11 @@ def conv3x3_pallas_x3(x: jnp.ndarray, w: jnp.ndarray,
     X3 = jnp.concatenate(
         [Xs[:, 0:M0], Xs[:, 1:M0 + 1], Xs[:, 2:M0 + 2]], axis=-1
     )  # (B, M0, 3*Ci)
+    # Mosaic requires dynamic-slice lane extents 128-aligned: pad 3*Ci
+    C3 = 3 * Ci
+    C3p = -(-C3 // 128) * 128
+    if C3p != C3:
+        X3 = jnp.pad(X3, ((0, 0), (0, 0), (0, C3p - C3)))
 
     tm = -(-min(block_rows, M) // 16) * 16
     n_tiles = -(-M // tm)
@@ -285,6 +290,8 @@ def conv3x3_pallas_x3(x: jnp.ndarray, w: jnp.ndarray,
     if X3.shape[1] < rows_needed:
         X3 = jnp.pad(X3, ((0, 0), (0, rows_needed - X3.shape[1]), (0, 0)))
     w3 = w.reshape(3, 3 * Ci, Co)  # w3[dr] rows = [w[dr,0]; w[dr,1]; w[dr,2]]
+    if C3p != C3:
+        w3 = jnp.pad(w3, ((0, 0), (0, C3p - C3), (0, 0)))
     bias = (b if b is not None else jnp.zeros((Co,), jnp.float32))
     bias = bias.reshape(1, Co).astype(jnp.float32)
 
@@ -298,7 +305,7 @@ def conv3x3_pallas_x3(x: jnp.ndarray, w: jnp.ndarray,
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((3, 3 * Ci, Co), lambda b2, t2: (0, 0, 0),
+            pl.BlockSpec((3, C3p, Co), lambda b2, t2: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Co), lambda b2, t2: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -306,7 +313,7 @@ def conv3x3_pallas_x3(x: jnp.ndarray, w: jnp.ndarray,
         out_specs=pl.BlockSpec((1, tm, Co), lambda b2, t2: (b2, t2, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, buf_rows, 3 * Ci), x.dtype),
+            pltpu.VMEM((2, buf_rows, C3p), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(

@@ -29,18 +29,59 @@ def make_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard axis 0 (batch) over the data axis."""
-    return NamedSharding(mesh, P(axis))
+def make_hybrid_mesh(
+    n_slices: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = ("dcn", "data"),
+) -> Mesh:
+    """2-D ("dcn", "data") mesh for multi-slice data parallelism.
+
+    On a multi-slice TPU deployment the outer axis spans slices (links
+    cross the data-center network) and the inner axis spans the chips of
+    one slice (ICI).  GSPMD then lowers the gradient all-reduce
+    hierarchically: reduce inside each slice over ICI first, and only the
+    per-slice partial crosses DCN.  On real hardware
+    `mesh_utils.create_hybrid_device_mesh` orders devices so the inner
+    axis is ICI-contiguous; for single-slice/virtual devices a plain
+    reshape gives the same mesh topology (every link is equal anyway).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % n_slices:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by n_slices={n_slices}"
+        )
+    per_slice = len(devices) // n_slices
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) == n_slices and n_slices > 1:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (n_slices, 1), devices=devices
+        )
+    else:
+        dev_array = np.asarray(devices).reshape(n_slices, per_slice)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis=None, batch_dim: int = 0) -> NamedSharding:
+    """Shard dim `batch_dim` over every mesh axis (pure DP on any mesh)."""
+    if axis is None:
+        axis = tuple(mesh.axis_names)
+    return NamedSharding(mesh, P(*((None,) * batch_dim), axis))
 
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Device-put every batch array with its leading dim sharded."""
-    sharding = batch_sharding(mesh, axis)
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis=None, batch_dim=0):
+    """Device-put every batch array with the batch dim sharded.
+
+    `batch_dim=1` handles gradient-accumulation batches shaped
+    (K_microbatches, B, ...): the microbatch dim stays unsharded (it is
+    scanned over), B is split across the mesh.
+    """
+    sharding = batch_sharding(mesh, axis, batch_dim)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

@@ -13,7 +13,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from occdepth_tpu.ops.conv2d_shift import conv3x3_pallas, conv3x3_shift
+from occdepth_tpu.ops.conv2d_shift import (
+    conv3x3_pallas,
+    conv3x3_pallas_x3,
+    conv3x3_shift,
+)
 from occdepth_tpu.scripts.bench_components2 import timeit
 from occdepth_tpu.utils.compilation_cache import enable
 
@@ -65,6 +69,16 @@ def main():
                   f"  [{gf / t_pal:6.1f} TF/s]", flush=True)
         except Exception as e:
             print(f"({B},{H},{W},{Ci:3d}->{Co:3d})  pallas FAILED: "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+        try:
+            t_x3 = timeit(
+                functools.partial(conv3x3_pallas_x3, block_rows=br),
+                x, w, b, K=K,
+            )
+            print(f"({B},{H},{W},{Ci:3d}->{Co:3d})  pal_x3 {t_x3:7.3f} ms"
+                  f"  [{gf / t_x3:6.1f} TF/s]", flush=True)
+        except Exception as e:
+            print(f"({B},{H},{W},{Ci:3d}->{Co:3d})  pal_x3 FAILED: "
                   f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
 

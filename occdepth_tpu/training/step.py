@@ -150,14 +150,27 @@ def compute_losses(
     return loss, logs
 
 
-def make_train_step(cfg: OccDepthConfig, tx: optax.GradientTransformation):
-    """Build the jitted train step (donate state; shard batch on `data`)."""
+def make_train_step(
+    cfg: OccDepthConfig,
+    tx: optax.GradientTransformation,
+    accum_steps: int = 1,
+):
+    """Build the jitted train step (donate state; shard batch on `data`).
+
+    With ``accum_steps`` K > 1 (Lightning's ``accumulate_grad_batches``,
+    which the reference exposes through its Trainer) the step takes a
+    batch pytree with a leading (K, B, ...) microbatch dim, scans the
+    forward+backward over the K microbatches accumulating gradients, and
+    applies ONE optimizer update on the mean gradient — Lightning's exact
+    semantics (loss / K per microbatch).  BN running stats advance once
+    per microbatch, as they do under Lightning.
+    """
     model = create_model(cfg)
 
-    def train_step(state: TrainState, batch, progress):
+    def grads_and_aux(params, batch_stats, batch, progress):
         def loss_fn(params):
             out, new_model_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 batch,
                 train=True,
                 mutable=["batch_stats"],
@@ -167,24 +180,70 @@ def make_train_step(cfg: OccDepthConfig, tx: optax.GradientTransformation):
 
         grads, (logs, new_model_state, out) = jax.grad(
             loss_fn, has_aux=True
-        )(state.params)
-        updates, new_opt_state = tx.update(
-            grads, state.opt_state, state.params
-        )
-        new_params = optax.apply_updates(state.params, updates)
-
+        )(params)
         y_pred = jnp.argmax(out["ssc_logit"], axis=-1)
         completion, conf = confusion_update(
             y_pred, batch["target"], cfg.n_classes
         )
+        return grads, logs, new_model_state["batch_stats"], completion, conf
 
+    def apply_update(state, grads, batch_stats, logs, completion, conf):
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             params=new_params,
-            batch_stats=new_model_state["batch_stats"],
+            batch_stats=batch_stats,
             opt_state=new_opt_state,
             step=state.step + 1,
         )
         return new_state, logs, completion, conf
+
+    if accum_steps == 1:
+
+        def train_step(state: TrainState, batch, progress):
+            grads, logs, batch_stats, completion, conf = grads_and_aux(
+                state.params, state.batch_stats, batch, progress
+            )
+            return apply_update(
+                state, grads, batch_stats, logs, completion, conf
+            )
+
+    else:
+
+        def train_step(state: TrainState, batches, progress):
+            def micro(carry, mb):
+                batch_stats, grad_sum, comp_sum, conf_sum = carry
+                grads, logs, new_stats, completion, conf = grads_and_aux(
+                    state.params, batch_stats, mb, progress
+                )
+                carry = (
+                    new_stats,
+                    jax.tree_util.tree_map(jnp.add, grad_sum, grads),
+                    comp_sum + completion,
+                    conf_sum + conf,
+                )
+                return carry, logs
+
+            init = (
+                state.batch_stats,
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                jnp.zeros((3,), jnp.int32),
+                jnp.zeros((cfg.n_classes, cfg.n_classes), jnp.int32),
+            )
+            (batch_stats, grad_sum, completion, conf), logs_stack = (
+                jax.lax.scan(micro, init, batches)
+            )
+            grads = jax.tree_util.tree_map(
+                lambda g: g / accum_steps, grad_sum
+            )
+            logs = jax.tree_util.tree_map(
+                lambda x: jnp.mean(x, axis=0), logs_stack
+            )
+            return apply_update(
+                state, grads, batch_stats, logs, completion, conf
+            )
 
     return jax.jit(train_step, donate_argnums=(0,))
 

@@ -19,7 +19,7 @@ import numpy as np
 from occdepth_tpu.config import OccDepthConfig
 from occdepth_tpu.data.params import class_names_for
 from occdepth_tpu.losses.metrics import SSCMetrics
-from occdepth_tpu.parallel import make_mesh, shard_batch
+from occdepth_tpu.parallel import make_hybrid_mesh, make_mesh, shard_batch
 from occdepth_tpu.training.checkpoint import CheckpointManager
 from occdepth_tpu.training.logging import MetricsLogger
 from occdepth_tpu.training.optim import lr_schedule, make_optimizer
@@ -89,7 +89,10 @@ class Trainer:
         self.cfg = cfg
         self.logdir = os.path.join(logdir or cfg.logdir, exp_name(cfg))
         os.makedirs(self.logdir, exist_ok=True)
-        self.mesh = make_mesh(jax.devices(), ("data",))
+        if cfg.n_slices > 1:
+            self.mesh = make_hybrid_mesh(cfg.n_slices)
+        else:
+            self.mesh = make_mesh(jax.devices(), ("data",))
         self.n_devices = len(jax.devices())
         self.global_batch = cfg.batch_size_per_gpu * self.n_devices
         self.metrics_logger = MetricsLogger(self.logdir)
@@ -117,7 +120,12 @@ class Trainer:
             val_ds, self.global_batch, shuffle=False, drop_last=False,
             num_workers=max(1, cfg.num_workers_per_gpu),
         )
-        steps_per_epoch = max(1, len(train_loader))
+        accum = max(1, cfg.accumulate_grad_batches)
+        # one "step" = one optimizer update (= accum microbatches); a
+        # trailing partial group at epoch end is dropped rather than
+        # stepped short (Lightning steps on the remainder; configs ship
+        # with accumulate_grad_batches=1 so this never differs in practice)
+        steps_per_epoch = max(1, len(train_loader) // accum)
         # reference semantics: progress over a nominal 30-epoch schedule
         # (OccDepth.py:140-147), derived from the real dataset length here
         total_batches = steps_per_epoch * 30
@@ -134,7 +142,7 @@ class Trainer:
             start_step = int(state.step)
             print(f"resumed from step {start_step}")
 
-        train_step = make_train_step(cfg, tx)
+        train_step = make_train_step(cfg, tx, accum)
         eval_step = make_eval_step(cfg)
         train_metrics = SSCMetrics(cfg.n_classes)
         lr_fn = lr_schedule(cfg, steps_per_epoch)
@@ -151,8 +159,20 @@ class Trainer:
                 # per-epoch reseed of the augmentation RNG (the reference's
                 # seed_everything + worker_init_fn, scripts/train.py:213)
                 train_ds.reseed(epoch)
+            micro = []
             for batch in train_loader:
-                batch = shard_batch(strip_metadata(batch), self.mesh)
+                micro.append(strip_metadata(batch))
+                if len(micro) < accum:
+                    continue
+                if accum == 1:
+                    batch = shard_batch(micro[0], self.mesh)
+                else:
+                    batch = shard_batch(
+                        {k: np.stack([m[k] for m in micro])
+                         for k in micro[0]},
+                        self.mesh, batch_dim=1,
+                    )
+                micro = []
                 progress = jnp.asarray(
                     min(1.0, step / total_batches), jnp.float32
                 )
