@@ -143,6 +143,11 @@ class OccDepthConfig:
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     remat_backbone: bool = False  # jax.checkpoint the per-view 2D backbone
+    # Perf-attribution knob (bench_knockout only): scales whose SFA lift
+    # reads a stop_gradient'd copy of the 2D feature map — isolates the
+    # in-context cost of the gather backwards (table scatter-adds + the
+    # per-scale resize-conv backward coupling) without changing the forward.
+    sfa_bwd_stop_scales: Tuple[int, ...] = ()
 
     # Overrides for reduced-size test/debug scenes (None = dataset defaults)
     scene_size_m: Optional[Tuple[float, float, float]] = None

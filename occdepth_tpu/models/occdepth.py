@@ -149,6 +149,11 @@ class OccDepthModel(nn.Module):
             f"1_{s}": x_rgb[f"1_{s}"].astype(dtype)
             for s in cfg.project_res
         }
+        for s in cfg.sfa_bwd_stop_scales:  # bench attribution knob
+            if f"1_{s}" in lift_feats:
+                lift_feats[f"1_{s}"] = jax.lax.stop_gradient(
+                    lift_feats[f"1_{s}"]
+                )
         scene_dims = cfg.scene_dims(cfg.project_scale)
         x3d = sfa_lift(
             lift_feats,

@@ -33,6 +33,9 @@ VARIANTS = [
                       "project_1_8": False}),
     ("no_depth_loss", {"use_stereo_depth_gt": False}),
     ("mono", {"multi_view_mode": False, "use_stereo_depth_gt": False}),
+    # backward-only knockouts: forward unchanged, SFA table grads cut
+    ("sfa_nograd_248", {"sfa_bwd_stop_scales": (2, 4, 8)}),
+    ("sfa_nograd_all", {"sfa_bwd_stop_scales": (1, 2, 4, 8)}),
 ]
 
 
