@@ -1,0 +1,75 @@
+"""Static HLO roofline profile of the flagship train/eval/forward graph.
+
+The axon dev tunnel cannot serve jax.profiler traces, so this uses
+utils/hlo_profile: compile the jitted graph (persistent-cache-friendly),
+parse the optimized HLO, and print per-instruction / per-scope roofline
+estimates — enough to attribute in-context cost to model stages and to
+separate forward from backward (op_name scopes carry `transpose(jvp(...))`
+for backward ops).
+
+    python -m occdepth_tpu.scripts.profile_step --what train --group scope
+    python -m occdepth_tpu.scripts.profile_step --what forward --top 40
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from occdepth_tpu.config import OccDepthConfig
+from occdepth_tpu.data.batch import make_synthetic_batch
+from occdepth_tpu.utils.compilation_cache import enable
+from occdepth_tpu.utils.hlo_profile import hlo_breakdown, print_breakdown
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="train",
+                    choices=("train", "eval", "forward"))
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--group", default=None, choices=(None, "scope"))
+    ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+    enable()
+
+    cfg = OccDepthConfig(
+        dataset="kitti",
+        use_stereo_depth_gt=(args.what == "train"),
+        compute_dtype=args.dtype,
+    )
+    batch = make_synthetic_batch(
+        cfg, batch_size=1, with_labels=(args.what != "forward")
+    )
+
+    if args.what == "forward":
+        from occdepth_tpu.models import OccDepthModel
+
+        model = OccDepthModel(cfg=cfg)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), batch, train=False
+        )
+        fn = lambda v, b: model.apply(v, b, train=False)["ssc_logit"]
+        rows = hlo_breakdown(fn, variables, batch)
+    else:
+        from occdepth_tpu.training.optim import make_optimizer
+        from occdepth_tpu.training.step import (
+            init_state, make_eval_step, make_train_step,
+        )
+
+        tx = make_optimizer(cfg, steps_per_epoch=1000)
+        state = init_state(cfg, jax.random.PRNGKey(0), batch, tx)
+        if args.what == "train":
+            step = make_train_step(cfg, tx)
+            rows = hlo_breakdown(step, state, batch, jnp.zeros(()))
+        else:
+            step = make_eval_step(cfg)
+            rows = hlo_breakdown(
+                step, state.params, state.batch_stats, batch
+            )
+    print_breakdown(rows, top=args.top, group=args.group, depth=args.depth)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,264 @@
+"""Static per-instruction profiler from optimized HLO (a "paper profiler").
+
+The reference relies on nvprof/torch-profiler culture; on TPU the real tool
+is `jax.profiler`, but some environments (like this dev box, where the TPU
+sits behind a tunnel) cannot serve a trace.  This module gives the next
+best thing with zero device support: parse the *optimized* executable HLO
+of a jitted function and produce a per-instruction roofline estimate
+
+    t_est = max(flops / peak_flops, hbm_bytes / hbm_bw)
+
+with each instruction attributed to the JAX scope stack that produced it
+(`metadata op_name`, e.g. "jit(step)/transpose(jvp(OccDepthModel))/
+net_rgb/encoder/...") — so forward vs backward and model stage are
+separable.  Estimates are not measurements: they bound compute/HBM-traffic
+per op and rank hot spots; layout-copy stalls and ICI are not modeled.
+
+Usage:
+    rows = hlo_breakdown(fn, *args)            # list of InstrCost
+    print_breakdown(rows, top=30)              # ranked table
+    print_breakdown(rows, top=20, group="scope")  # grouped by scope prefix
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+# v5e per-chip peaks (bf16 MXU; HBM).  Estimates scale linearly if you
+# override for another generation.
+PEAK_FLOPS = 197e12
+HBM_BW = 819e9
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+    "c64": 8, "c128": 16, "token": 0, "opaque": 0,
+}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\(?[\w\[\],\s{}:#*()]+?\)?)\s+"
+    r"([\w\-]+)\(")
+_OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+_WINDOW_RE = re.compile(r"window={size=([\dx]+)")
+_CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
+
+
+def _shape_bytes(type_str: str) -> int:
+    """Total bytes of a (possibly tuple) HLO type string."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(type_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def _arg_list(rest: str) -> str:
+    """The top-level (...) argument list of an instruction line."""
+    depth, start = 0, rest.find("(")
+    if start < 0:
+        return ""
+    for i in range(start, len(rest)):
+        if rest[i] == "(":
+            depth += 1
+        elif rest[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return rest[start + 1:i]
+    return rest[start + 1:]
+
+
+_OPERAND_RE = re.compile(r"%?([\w.\-]+)")
+
+
+def _operand_types(rest: str, symtab: Dict[str, str]) -> List[str]:
+    """Operand type strings, resolved via inline types or the symbol table."""
+    args_str = _arg_list(rest)
+    out = []
+    for piece in args_str.split(","):
+        piece = piece.strip()
+        if not piece:
+            continue
+        if _SHAPE_RE.search(piece):  # inline-typed operand
+            out.append(piece)
+            continue
+        m = _OPERAND_RE.match(piece)
+        if m and m.group(1) in symtab:
+            out.append(symtab[m.group(1)])
+    return out
+
+
+def _dims_of(type_str: str) -> List[int]:
+    m = _SHAPE_RE.search(type_str)
+    if not m:
+        return []
+    return [int(d) for d in m.group(2).split(",") if d]
+
+
+def _conv_flops(out_type: str, rest: str, op_types: Sequence[str]) -> int:
+    """FLOPs of a convolution: 2 * out_elems * Cin_per_group * prod(window)."""
+    m = _WINDOW_RE.search(rest)
+    window = int(np.prod([int(x) for x in m.group(1).split("x")])) if m else 1
+    out_dims = _dims_of(out_type)
+    if not out_dims:
+        return 0
+    out_elems = int(np.prod(out_dims))
+    # input feature dim position comes from dim_labels, e.g. b01f_01io->b01f
+    cin = 1
+    dl = re.search(r"dim_labels=([\w?]+)_", rest)
+    in_dims = _dims_of(op_types[0]) if op_types else []
+    if dl and in_dims:
+        fpos = dl.group(1).find("f")
+        if 0 <= fpos < len(in_dims):
+            cin = in_dims[fpos]
+    elif in_dims:
+        cin = in_dims[-1]
+    gm = re.search(r"feature_group_count=(\d+)", rest)
+    g = int(gm.group(1)) if gm else 1
+    return 2 * out_elems * max(cin // g, 1) * window
+
+
+def _dot_flops(out_type: str, rest: str, op_types: Sequence[str]) -> int:
+    """FLOPs of a dot: 2 * out_elems * prod(contracted dims)."""
+    out_dims = _dims_of(out_type)
+    if not out_dims:
+        return 0
+    out_elems = int(np.prod(out_dims))
+    cm = re.search(r"lhs_contracting_dims={([\d,]+)}", rest)
+    lhs_dims = _dims_of(op_types[0]) if op_types else []
+    k = 1
+    if cm and lhs_dims:
+        for ci in cm.group(1).split(","):
+            i = int(ci)
+            if i < len(lhs_dims):
+                k *= lhs_dims[i]
+    return 2 * out_elems * k
+
+
+@dataclasses.dataclass
+class InstrCost:
+    name: str
+    op: str
+    out_type: str
+    bytes: int  # operand + output HBM bytes (upper bound: assumes no reuse)
+    flops: int
+    t_us: float  # roofline max(compute, memory) in microseconds
+    scope: str  # op_name metadata ("" if absent)
+
+
+def hlo_breakdown(fn, *args, fused_flops: bool = True,
+                  **kwargs) -> List[InstrCost]:
+    """Compile fn (cached if seen before) and rank optimized-HLO costs."""
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    text = compiled.as_text()
+    return analyze_hlo_text(text, fused_flops=fused_flops)
+
+
+def analyze_hlo_text(text: str, fused_flops: bool = True) -> List[InstrCost]:
+    lines = text.splitlines()
+
+    # Pass 1: symbol table name -> output type, across ALL computations
+    # (operand types are usually not inline in modern HLO text).
+    symtab: Dict[str, str] = {}
+    for line in lines:
+        im = _INSTR_RE.match(line)
+        if im:
+            symtab[im.group(1)] = im.group(2)
+
+    # Pass 2: FLOPs of convolution/dot instructions living INSIDE fused
+    # computations are charged to the fusion that calls them.
+    comp_flops: Dict[str, int] = {}
+    comp: Optional[str] = None
+    for line in lines:
+        m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\(.*\)\s*->", line)
+        if m and "=" not in line.split("->")[0]:
+            comp = m.group(1)
+            continue
+        im = _INSTR_RE.match(line)
+        if not (im and comp):
+            continue
+        op = im.group(3)
+        if op in ("convolution", "dot"):
+            rest = line[im.end() - 1:]
+            ots = _operand_types(rest, symtab)
+            f = (_conv_flops(im.group(2), rest, ots) if op == "convolution"
+                 else _dot_flops(im.group(2), rest, ots))
+            comp_flops[comp] = comp_flops.get(comp, 0) + f
+
+    rows: List[InstrCost] = []
+    in_entry = False
+    for line in lines:
+        if line.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry and line.startswith("}"):
+            break
+        if not in_entry:
+            continue
+        im = _INSTR_RE.match(line)
+        if not im:
+            continue
+        name, out_type, op = im.group(1), im.group(2), im.group(3)
+        if op in ("parameter", "constant", "tuple", "get-tuple-element",
+                  "bitcast"):
+            continue
+        rest = line[im.end() - 1:]
+        ots = _operand_types(rest, symtab)
+        b = _shape_bytes(out_type) + sum(_shape_bytes(t) for t in ots)
+        flops = 0
+        if op == "convolution":
+            flops = _conv_flops(out_type, rest, ots)
+        elif op == "dot":
+            flops = _dot_flops(out_type, rest, ots)
+        elif op == "fusion" and fused_flops:
+            cm = _CALLS_RE.search(rest)
+            if cm:
+                flops = comp_flops.get(cm.group(1), 0)
+        om = _OPNAME_RE.search(line)
+        scope = om.group(1) if om else ""
+        t = max(flops / PEAK_FLOPS, b / HBM_BW) * 1e6
+        rows.append(InstrCost(name, op, out_type.strip(), b, flops, t, scope))
+    rows.sort(key=lambda r: -r.t_us)
+    return rows
+
+
+def group_by_scope(rows: Sequence[InstrCost], depth: int = 3
+                   ) -> List[Tuple[str, float, int, int]]:
+    """Aggregate roofline time by the first `depth` op_name scope levels."""
+    agg: Dict[str, List[float]] = {}
+    for r in rows:
+        key = "/".join(r.scope.split("/")[:depth]) if r.scope else "<no-op_name>"
+        a = agg.setdefault(key, [0.0, 0, 0])
+        a[0] += r.t_us
+        a[1] += r.bytes
+        a[2] += r.flops
+    out = [(k, v[0], v[1], v[2]) for k, v in agg.items()]
+    out.sort(key=lambda x: -x[1])
+    return out
+
+
+def print_breakdown(rows: Sequence[InstrCost], top: int = 30,
+                    group: Optional[str] = None, depth: int = 3) -> None:
+    total = sum(r.t_us for r in rows)
+    tb = sum(r.bytes for r in rows)
+    tf = sum(r.flops for r in rows)
+    print(f"instructions: {len(rows)}  est total {total/1e3:.2f} ms  "
+          f"(traffic {tb/1e9:.2f} GB -> {tb/HBM_BW*1e3:.2f} ms; "
+          f"flops {tf/1e12:.2f} T -> {tf/PEAK_FLOPS*1e3:.2f} ms)")
+    if group == "scope":
+        for key, t, b, f in group_by_scope(rows, depth)[:top]:
+            print(f"{t/1e3:8.3f} ms  {b/1e6:9.1f} MB  {f/1e9:9.1f} GF  {key}")
+        return
+    for r in rows[:top]:
+        scope = r.scope[-80:]
+        print(f"{r.t_us/1e3:8.3f} ms  {r.op:12s} {r.bytes/1e6:9.1f} MB  "
+              f"{r.flops/1e9:9.1f} GF  {scope}")
