@@ -13,6 +13,7 @@ for backward ops).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -31,14 +32,24 @@ def main():
     ap.add_argument("--group", default=None, choices=(None, "scope"))
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--config", default=None,
+                    help="profile a shipped YAML config instead of the "
+                         "flagship KITTI stereo default")
+    ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     enable()
 
-    cfg = OccDepthConfig(
-        dataset="kitti",
-        use_stereo_depth_gt=(args.what == "train"),
-        compute_dtype=args.dtype,
-    )
+    if args.config:
+        from occdepth_tpu.config import load_config, parse_overrides
+
+        cfg = load_config(args.config, parse_overrides(args.overrides))
+        cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+    else:
+        cfg = OccDepthConfig(
+            dataset="kitti",
+            use_stereo_depth_gt=(args.what == "train"),
+            compute_dtype=args.dtype,
+        )
     batch = make_synthetic_batch(
         cfg, batch_size=1, with_labels=(args.what != "forward")
     )
