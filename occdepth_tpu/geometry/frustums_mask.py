@@ -118,19 +118,32 @@ def compute_frustum_class_dists(
     (losses/fp_device.py), so the data pipeline only ships this tiny
     (size^2, n_classes) table.
     """
-    px = projected_pix[:, :, 0, 0].astype(np.float64)  # (V, N)
-    py = projected_pix[:, :, 0, 1].astype(np.float64)
+    # integer arithmetic throughout: pixels are int32 and the tile index
+    # floor(p*size/dim) == (p*size)//dim for p >= 0 (negatives are culled
+    # by `valid` before use) — float64 passes over (V, 2M) were the
+    # loader's hottest host op (bench_loader)
+    px = projected_pix[:, :, 0, 0]  # (V, N) int32
+    py = projected_pix[:, :, 0, 1]
     V = px.shape[0]
     T = size * size
 
-    ix = np.floor(px * size / img_W).astype(np.int64)
-    iy = np.floor(py * size / img_H).astype(np.int64)
+    from occdepth_tpu import native_ext
+
+    cls_w = world_order_target(target, dataset).reshape(-1)
+    native = native_ext.frustum_class_dists(
+        px, py, pix_z, cls_w, size, img_W, img_H, n_classes
+    )
+    if native is not None:
+        return native
+
+    ix = (px * size) // img_W
+    iy = (py * size) // img_H
     valid = (
         (px >= 0) & (px < img_W) & (py >= 0) & (py < img_H) & (pix_z > 0)
     )
     tile = np.where(valid, iy * size + ix, -1)  # (V, N)
 
-    cls = world_order_target(target, dataset).reshape(-1).astype(np.int64)
+    cls = world_order_target(target, dataset).reshape(-1).astype(np.int32)
     cls_valid = cls != 255
 
     dists = np.zeros(T * n_classes, dtype=np.float64)

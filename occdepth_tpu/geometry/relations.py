@@ -49,23 +49,33 @@ def compute_cp_mega_matrix(target: np.ndarray, is_binary: bool = False) -> np.nd
     label_row = target.reshape(-1)  # (N,)
     children = _child_labels(target)  # (M, 8)
 
-    row = label_row[:, None, None]  # (N, 1, 1)
-    col = children[None, :, :]  # (1, M, 8)
-    row_valid = row != 255
-    col_valid = col != 255
+    # Per-supervoxel class-presence bitmask (labels < 32; 255 = invalid is
+    # excluded).  Every relation then reduces to O(N*M) uint32 bit tests
+    # instead of (N, M, 8) boolean broadcasts — ~10x less temporary
+    # traffic, the loader's second-hottest host op after the frustum
+    # histograms (bench_loader).
+    ch = np.minimum(children, 31).astype(np.uint32)
+    mask = np.bitwise_or.reduce(
+        np.where(children != 255, np.uint32(1) << ch, np.uint32(0)), axis=1
+    )  # (M,)
 
+    L = label_row
+    rv = (L != 255)[:, None]  # (N, 1) row valid
+    Lbit = (np.uint32(1) << np.minimum(L, 31).astype(np.uint32))[:, None]
+    present_L = (mask[None, :] & Lbit) != 0  # (N, M) some valid c == L_n
     if is_binary:
-        diff = (row_valid & col_valid & (col != row)).any(axis=2)
-        same = (row_valid & col_valid & (col == row)).any(axis=2)
+        diff = rv & ((mask[None, :] & ~Lbit) != 0)  # some valid c != L_n
+        same = rv & present_L
         matrix = np.stack([diff, same])
     else:
-        r0 = (row_valid & col_valid & (col == row) & (col != 0)).any(axis=2)
-        r1 = (
-            row_valid & col_valid & (col != row) & (col != 0) & (row != 0)
-        ).any(axis=2)
-        r2 = (row_valid & col_valid & (row == col) & (col == 0)).any(axis=2)
-        r3 = (
-            row_valid & col_valid & (row != col) & ((row == 0) | (col == 0))
-        ).any(axis=2)
+        nonzero_mask = mask & ~np.uint32(1)  # presence of valid c != 0
+        Lnz = (L != 0)[:, None]
+        has_empty = (mask[None, :] & np.uint32(1)) != 0
+        r0 = rv & Lnz & present_L
+        r1 = rv & Lnz & ((nonzero_mask[None, :] & ~Lbit) != 0)
+        r2 = rv & ~Lnz & has_empty
+        r3 = rv & np.where(
+            Lnz, has_empty, (nonzero_mask != 0)[None, :]
+        )
         matrix = np.stack([r0, r1, r2, r3])
     return matrix.astype(np.uint8)

@@ -151,4 +151,38 @@ void pack_bits_u8(const uint8_t* bits, int64_t n_bytes, uint8_t* out) {
   }
 }
 
+// Per-image-tile GT class histograms for the frustum-proportion loss
+// (reference helpers.compute_local_frustums histogram output,
+// occdepth/data/utils/helpers.py:183-260) in ONE pass over the voxels —
+// no (size^2, N) mask tensor, no float64 temporaries.  A voxel seen by
+// several views in the SAME tile counts once (OR semantics across views,
+// matching the reference's per-view mask union).
+// px/py/pz are (V, N) row-major; cls is (N,) with 255 = ignore;
+// out is (size*size*n_classes) int64, caller-zeroed.  V <= 8.
+void frustum_class_dists_i32(const int32_t* px, const int32_t* py,
+                             const float* pz, const int32_t* cls, int64_t V,
+                             int64_t N, int64_t size, int64_t img_W,
+                             int64_t img_H, int64_t n_classes, int64_t* out) {
+  int32_t tiles[8];
+  if (V > 8) return;
+  for (int64_t n = 0; n < N; ++n) {
+    const int32_t c = cls[n];
+    const bool cv = (c >= 0) && (c < (int32_t)n_classes);
+    for (int64_t v = 0; v < V; ++v) {
+      const int64_t x = px[v * N + n];
+      const int64_t y = py[v * N + n];
+      const float z = pz[v * N + n];
+      int32_t t = -1;
+      if (x >= 0 && x < img_W && y >= 0 && y < img_H && z > 0.f)
+        t = (int32_t)(((y * size) / img_H) * size + (x * size) / img_W);
+      tiles[v] = t;
+      if (t >= 0 && cv) {
+        bool fresh = true;
+        for (int64_t u = 0; u < v; ++u) fresh &= (tiles[u] != t);
+        if (fresh) out[(int64_t)t * n_classes + c] += 1;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -55,6 +55,15 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.unpack_bits_u8.argtypes = [u8p, i64, u8p]
     lib.pack_bits_u8.argtypes = [u8p, i64, u8p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    try:
+        lib.frustum_class_dists_i32.argtypes = [
+            i32p, i32p, f32p, i32p, i64, i64, i64, i64, i64, i64, i64p,
+        ]
+    except AttributeError:
+        # stale .so from before this kernel existed; rebuild picks it up
+        pass
     _lib = lib
     return lib
 
@@ -152,6 +161,36 @@ def voxel_vote(
     np.add.at(counts, (vi[:, 0], vi[:, 1], vi[:, 2], ci), 1)
     vcls = np.where(binary > 0, counts.argmax(axis=-1), 0).astype(np.uint8)
     return binary, vcls
+
+
+def frustum_class_dists(
+    px: np.ndarray, py: np.ndarray, pz: np.ndarray, cls: np.ndarray,
+    size: int, img_W: int, img_H: int, n_classes: int,
+) -> Optional[np.ndarray]:
+    """(size^2, n_classes) GT histograms over image tiles, one C++ pass.
+
+    px/py (V, N) int32 pixel coords, pz (V, N) float32 depths, cls (N,)
+    int32 labels (255 = ignore).  Returns None when the native library is
+    unavailable or V > 8 (caller falls back to the numpy path in
+    geometry/frustums_mask.py).
+    """
+    lib = _load()
+    V, N = px.shape
+    if lib is None or V > 8:
+        return None
+    px = np.ascontiguousarray(px, dtype=np.int32)
+    py = np.ascontiguousarray(py, dtype=np.int32)
+    pz = np.ascontiguousarray(pz, dtype=np.float32)
+    cls = np.ascontiguousarray(cls.reshape(-1), dtype=np.int32)
+    out = np.zeros(size * size * n_classes, np.int64)
+    try:
+        lib.frustum_class_dists_i32(
+            px.reshape(-1), py.reshape(-1), pz.reshape(-1), cls, V, N, size,
+            img_W, img_H, n_classes, out,
+        )
+    except AttributeError:  # stale .so without this kernel
+        return None
+    return out.reshape(size * size, n_classes).astype(np.float64)
 
 
 def unpack_bits(packed: np.ndarray) -> np.ndarray:

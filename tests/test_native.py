@@ -76,3 +76,31 @@ def test_voxel_vote(rng):
     cls = np.where(binary > 0, counts.argmax(-1), 0).astype(np.uint8)
     np.testing.assert_array_equal(nb, binary)
     np.testing.assert_array_equal(nc, cls)
+
+
+def test_frustum_class_dists_native_vs_numpy(rng):
+    """C++ one-pass histogram == the vectorized numpy fallback."""
+    import occdepth_tpu.native_ext as ne_mod
+    from occdepth_tpu.geometry.frustums_mask import compute_frustum_class_dists
+
+    V, N, C, size, W, H = 2, 4000, 5, 4, 64, 48
+    pix = rng.randint(-10, W + 10, size=(V, N, 1, 2)).astype(np.int32)
+    pz = (rng.randn(V, N)).astype(np.float32)
+    X, Y, Z = 20, 20, 10
+    tgt = rng.randint(0, C, size=(X, Y, Z)).astype(np.int32)
+    tgt[rng.rand(X, Y, Z) > 0.9] = 255
+
+    native = ne_mod.frustum_class_dists(
+        pix[:, :, 0, 0], pix[:, :, 0, 1], pz, tgt.reshape(-1), size, W, H, C
+    )
+    orig = ne_mod.frustum_class_dists
+    ne_mod.frustum_class_dists = lambda *a, **k: None
+    try:
+        ref = compute_frustum_class_dists(
+            pix, pz, tgt, W, H, "kitti", C, size
+        )
+    finally:
+        ne_mod.frustum_class_dists = orig
+    if native is None:
+        pytest.skip("native library unavailable")
+    np.testing.assert_array_equal(native, ref)
