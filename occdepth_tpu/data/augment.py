@@ -19,6 +19,20 @@ def normalize_rgb(img: np.ndarray) -> np.ndarray:
     return ((img - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
 
 
+def sample_rng(seed: int, epoch: int, index: int) -> np.random.RandomState:
+    """Per-(epoch, sample) augmentation RNG.
+
+    Derived from (seed, epoch, index) alone so the flip/jitter draws are
+    identical no matter how dataloader workers schedule the samples —
+    the reference gets worker-determinism from torch's worker_init_fn +
+    per-worker torch RNG streams (data/utils/torch_util.py:5-15); a
+    shared RandomState consumed by concurrent workers would be racy.
+    """
+    return np.random.RandomState(
+        (seed + 100003 * (epoch + 1) + 15485863 * (index + 1)) % (2**31 - 1)
+    )
+
+
 def color_jitter(
     img: np.ndarray,
     rng: np.random.RandomState,

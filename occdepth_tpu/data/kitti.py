@@ -17,6 +17,7 @@ import numpy as np
 from occdepth_tpu.config import OccDepthConfig
 from occdepth_tpu.data import kitti_io
 from occdepth_tpu.data.augment import (
+    sample_rng,
     color_jitter,
     flip_projected_pix,
     gaussian_blur,
@@ -60,7 +61,7 @@ class KittiDataset:
         self.label_root = os.path.join(cfg.data_preprocess_root, "labels")
         self.fliplr = fliplr
         self.color_jitter_params = color_jitter_params if split == "train" else None
-        self.rng = np.random.RandomState(seed)
+        self.epoch = 0
         self.seed = seed
         self.n_views = 2 if cfg.multi_view_mode else 1
 
@@ -94,8 +95,10 @@ class KittiDataset:
     def reseed(self, epoch: int):
         """Deterministic per-epoch augmentation RNG: a resumed run
         replays the same jitter/flip draws as an uninterrupted one
-        (honors the `deterministic` config key)."""
-        self.rng = np.random.RandomState(self.seed + 100003 * (epoch + 1))
+        (honors the `deterministic` config key).  Draws come from a
+        per-(epoch, index) stream (augment.sample_rng), so they are
+        also independent of dataloader worker scheduling."""
+        self.epoch = epoch
 
     def _geometry(self, seq: str, cam_k, T_velo_2_cam):
         """Per-sequence cached vox2pix at output + project scales."""
@@ -140,7 +143,8 @@ class KittiDataset:
 
         pix_p, fov_p, _ = geom[cfg.project_scale]
         pix_o, _, pz_o = geom[cfg.output_scale]
-        do_flip = self.split == "train" and self.rng.rand() < self.fliplr
+        rng = sample_rng(self.seed, self.epoch, index)
+        do_flip = self.split == "train" and rng.rand() < self.fliplr
 
         # labels
         target = None
@@ -184,7 +188,7 @@ class KittiDataset:
             )).convert("RGB")
             img = np.asarray(img, dtype=np.float32) / 255.0
             if self.color_jitter_params:
-                img = color_jitter(img, self.rng, *self.color_jitter_params)
+                img = color_jitter(img, rng, *self.color_jitter_params)
             img = img[:IMG_H, :IMG_W]
             if do_flip:
                 img = img[:, ::-1]
@@ -197,10 +201,10 @@ class KittiDataset:
             # strong aug applies on the normalized image, like the
             # reference's torchvision pipeline (kitti_dataset.py:401-407)
             if self.split == "train" and cfg.use_strong_img_aug:
-                if self.rng.rand() < 0.3:
-                    img = gaussian_blur(img, self.rng)
-                if self.rng.rand() < 0.3:
-                    img = strong_img_aug(img, self.rng)
+                if rng.rand() < 0.3:
+                    img = gaussian_blur(img, rng)
+                if rng.rand() < 0.3:
+                    img = strong_img_aug(img, rng)
             imgs.append(img)
             idas.append(ida_matrix((0, 0, IMG_W, IMG_H), do_flip))
         sample["img"] = np.stack(imgs)

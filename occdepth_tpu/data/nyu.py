@@ -16,6 +16,7 @@ import numpy as np
 
 from occdepth_tpu.config import OccDepthConfig
 from occdepth_tpu.data.augment import (
+    sample_rng,
     color_jitter,
     flip_projected_pix,
     gaussian_blur,
@@ -61,7 +62,7 @@ class NYUDataset:
         self.color_jitter_params = (
             color_jitter_params if split == "train" else None
         )
-        self.rng = np.random.RandomState(seed)
+        self.epoch = 0
         self.seed = seed
         self.scan_names = sorted(glob.glob(os.path.join(self.root, "*.bin")))
 
@@ -72,7 +73,7 @@ class NYUDataset:
         """Deterministic per-epoch augmentation RNG: a resumed run
         replays the same jitter/flip draws as an uninterrupted one
         (honors the `deterministic` config key)."""
-        self.rng = np.random.RandomState(self.seed + 100003 * (epoch + 1))
+        self.epoch = epoch
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         from PIL import Image
@@ -136,9 +137,10 @@ class NYUDataset:
         if cfg.use_depth_gt:
             gt_depth = load_depth_png(os.path.join(self.root, name + ".png"))
 
-        do_flip = self.split == "train" and self.rng.rand() < self.fliplr
+        rng = sample_rng(self.seed, self.epoch, index)
+        do_flip = self.split == "train" and rng.rand() < self.fliplr
         if self.color_jitter_params:
-            img = color_jitter(img, self.rng, *self.color_jitter_params)
+            img = color_jitter(img, rng, *self.color_jitter_params)
         if do_flip:
             img = np.ascontiguousarray(img[:, ::-1])
             projected_pix = flip_projected_pix(projected_pix, IMG_W)
@@ -147,10 +149,10 @@ class NYUDataset:
 
         img = normalize_rgb(img)
         if self.split == "train" and cfg.use_strong_img_aug:
-            if self.rng.rand() < 0.3:
-                img = gaussian_blur(img, self.rng)
-            if self.rng.rand() < 0.3:
-                img = strong_img_aug(img, self.rng)
+            if rng.rand() < 0.3:
+                img = gaussian_blur(img, rng)
+            if rng.rand() < 0.3:
+                img = strong_img_aug(img, rng)
         sample["img"] = img[None]  # (V=1, H, W, 3)
         sample["ida_mats"] = ida_matrix((0, 0, IMG_W, IMG_H), do_flip)[None]
         sample["projected_pix"] = projected_pix

@@ -15,6 +15,7 @@ import numpy as np
 
 from occdepth_tpu.config import OccDepthConfig
 from occdepth_tpu.data.augment import (
+    sample_rng,
     color_jitter,
     flip_projected_pix,
     ida_matrix,
@@ -85,7 +86,7 @@ class TartanAirDataset:
         self.color_jitter_params = (
             color_jitter_params if split == "train" else None
         )
-        self.rng = np.random.RandomState(seed)
+        self.epoch = 0
         self.seed = seed
         self.scene_size = (
             np.asarray(cfg.full_scene_size, float) * cfg.voxel_size_meters
@@ -122,7 +123,7 @@ class TartanAirDataset:
         """Deterministic per-epoch augmentation RNG: a resumed run
         replays the same jitter/flip draws as an uninterrupted one
         (honors the `deterministic` config key)."""
-        self.rng = np.random.RandomState(self.seed + 100003 * (epoch + 1))
+        self.epoch = epoch
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         from PIL import Image
@@ -177,7 +178,8 @@ class TartanAirDataset:
             )
             sample["frustums_class_dists"] = dists.astype(np.float32)
 
-        do_flip = self.split == "train" and self.rng.rand() < self.fliplr
+        rng = sample_rng(self.seed, self.epoch, index)
+        do_flip = self.split == "train" and rng.rand() < self.fliplr
         imgs, idas = [], []
         for v, side in enumerate(("left", "right")):
             img = Image.open(os.path.join(
@@ -186,7 +188,7 @@ class TartanAirDataset:
             )).convert("RGB")
             img = np.asarray(img, np.float32)[:IMG_H, :IMG_W] / 255.0
             if self.color_jitter_params:
-                img = color_jitter(img, self.rng, *self.color_jitter_params)
+                img = color_jitter(img, rng, *self.color_jitter_params)
             if do_flip:
                 img = np.ascontiguousarray(img[:, ::-1])
             imgs.append(normalize_rgb(img))

@@ -155,9 +155,12 @@ class Trainer:
         train_loader.epoch = start_epoch
         t_start = time.time()
         for epoch in range(start_epoch, cfg.max_epochs):
-            if cfg.deterministic and hasattr(train_ds, "reseed"):
-                # per-epoch reseed of the augmentation RNG (the reference's
-                # seed_everything + worker_init_fn, scripts/train.py:213)
+            if hasattr(train_ds, "reseed"):
+                # advance the per-epoch augmentation stream (the reference's
+                # seed_everything + worker_init_fn, scripts/train.py:213);
+                # draws are per-(epoch, index) so they are deterministic
+                # regardless of worker scheduling — the `deterministic`
+                # config key needs no weaker mode
                 train_ds.reseed(epoch)
             micro = []
             for batch in train_loader:

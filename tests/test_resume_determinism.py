@@ -37,11 +37,52 @@ def test_loader_epoch_restored_reproduces_shuffle_order():
 
 
 def test_dataset_reseed_is_deterministic():
+    from occdepth_tpu.data.augment import sample_rng
+
     ds1 = KittiDataset.__new__(KittiDataset)
     ds2 = KittiDataset.__new__(KittiDataset)
     ds1.seed = ds2.seed = 42
     KittiDataset.reseed(ds1, 5)
     KittiDataset.reseed(ds2, 5)
-    assert ds1.rng.rand() == ds2.rng.rand()
+    r1 = sample_rng(ds1.seed, ds1.epoch, 3).rand()
+    assert r1 == sample_rng(ds2.seed, ds2.epoch, 3).rand()
     KittiDataset.reseed(ds2, 6)
-    assert ds1.rng.rand() != ds2.rng.rand()
+    assert r1 != sample_rng(ds2.seed, ds2.epoch, 3).rand()
+    # distinct samples draw from distinct streams
+    assert r1 != sample_rng(ds1.seed, ds1.epoch, 4).rand()
+
+
+class RngDataset:
+    """Emits the sample's first augmentation draw, like a flip decision."""
+
+    def __init__(self, n, seed=42):
+        self.n = n
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        from occdepth_tpu.data.augment import sample_rng
+
+        return {"i": np.asarray(i),
+                "r": np.asarray(sample_rng(self.seed, self.epoch, i).rand())}
+
+
+def test_augmentation_draws_independent_of_worker_count():
+    """Concurrent prefetch workers must not change the augmentation
+    stream (a shared RandomState consumed from worker threads would be
+    scheduling-dependent; reference guards this with worker_init_fn,
+    data/utils/torch_util.py:5-15)."""
+    ds = RngDataset(17)
+    serial = {}
+    for b in Loader(ds, 2, shuffle=True, num_workers=0, drop_last=False):
+        for i, r in zip(b["i"].tolist(), b["r"].tolist()):
+            serial[i] = r
+    ds2 = RngDataset(17)
+    threaded = {}
+    for b in Loader(ds2, 2, shuffle=True, num_workers=3, drop_last=False):
+        for i, r in zip(b["i"].tolist(), b["r"].tolist()):
+            threaded[i] = r
+    assert serial == threaded
