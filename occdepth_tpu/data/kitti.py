@@ -93,11 +93,10 @@ class KittiDataset:
         return len(self.scans)
 
     def reseed(self, epoch: int):
-        """Deterministic per-epoch augmentation RNG: a resumed run
-        replays the same jitter/flip draws as an uninterrupted one
-        (honors the `deterministic` config key).  Draws come from a
-        per-(epoch, index) stream (augment.sample_rng), so they are
-        also independent of dataloader worker scheduling."""
+        """Advance the per-epoch augmentation stream.  Draws come from a
+        per-(epoch, index) RandomState (augment.sample_rng), so a resumed
+        run replays the same jitter/flip draws as an uninterrupted one
+        and the stream is independent of dataloader worker scheduling."""
         self.epoch = epoch
 
     def _geometry(self, seq: str, cam_k, T_velo_2_cam):

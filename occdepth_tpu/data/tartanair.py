@@ -120,9 +120,10 @@ class TartanAirDataset:
         return len(self.scans)
 
     def reseed(self, epoch: int):
-        """Deterministic per-epoch augmentation RNG: a resumed run
-        replays the same jitter/flip draws as an uninterrupted one
-        (honors the `deterministic` config key)."""
+        """Advance the per-epoch augmentation stream.  Draws come from a
+        per-(epoch, index) RandomState (augment.sample_rng), so a resumed
+        run replays the same jitter/flip draws as an uninterrupted one and
+        the stream is independent of dataloader worker scheduling."""
         self.epoch = epoch
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:

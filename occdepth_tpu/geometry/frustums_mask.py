@@ -143,7 +143,7 @@ def compute_frustum_class_dists(
     )
     tile = np.where(valid, iy * size + ix, -1)  # (V, N)
 
-    cls = world_order_target(target, dataset).reshape(-1).astype(np.int32)
+    cls = cls_w.astype(np.int32)  # already world-ordered for the native try
     cls_valid = cls != 255
 
     dists = np.zeros(T * n_classes, dtype=np.float64)

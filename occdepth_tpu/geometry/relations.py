@@ -36,6 +36,31 @@ def _child_labels(target: np.ndarray) -> np.ndarray:
     return np.stack([blocks[:, i, j, k] for (i, j, k) in order], axis=1)
 
 
+def _cp_mega_matrix_broadcast(
+    label_row: np.ndarray, children: np.ndarray, is_binary: bool
+) -> np.ndarray:
+    """(N, M, 8) broadcast form — correct for arbitrary label values."""
+    row = label_row[:, None, None]
+    col = children[None, :, :]
+    row_valid = row != 255
+    col_valid = col != 255
+    if is_binary:
+        diff = (row_valid & col_valid & (col != row)).any(axis=2)
+        same = (row_valid & col_valid & (col == row)).any(axis=2)
+        matrix = np.stack([diff, same])
+    else:
+        r0 = (row_valid & col_valid & (col == row) & (col != 0)).any(axis=2)
+        r1 = (
+            row_valid & col_valid & (col != row) & (col != 0) & (row != 0)
+        ).any(axis=2)
+        r2 = (row_valid & col_valid & (row == col) & (col == 0)).any(axis=2)
+        r3 = (
+            row_valid & col_valid & (row != col) & ((row == 0) | (col == 0))
+        ).any(axis=2)
+        matrix = np.stack([r0, r1, r2, r3])
+    return matrix.astype(np.uint8)
+
+
 def compute_cp_mega_matrix(target: np.ndarray, is_binary: bool = False) -> np.ndarray:
     """Vectorized equivalent of reference compute_CP_mega_matrix.
 
@@ -53,7 +78,11 @@ def compute_cp_mega_matrix(target: np.ndarray, is_binary: bool = False) -> np.nd
     # excluded).  Every relation then reduces to O(N*M) uint32 bit tests
     # instead of (N, M, 8) boolean broadcasts — ~10x less temporary
     # traffic, the loader's second-hottest host op after the frustum
-    # histograms (bench_loader).
+    # histograms (bench_loader).  Labels in [32, 255) would alias bitmask
+    # bits — no shipped dataset has them (<= 20 classes + 255), but guard
+    # by falling back to the direct broadcast form.
+    if np.any((label_row >= 32) & (label_row != 255)):
+        return _cp_mega_matrix_broadcast(label_row, children, is_binary)
     ch = np.minimum(children, 31).astype(np.uint32)
     mask = np.bitwise_or.reduce(
         np.where(children != 255, np.uint32(1) << ch, np.uint32(0)), axis=1

@@ -178,8 +178,11 @@ def frustum_class_dists(
     V, N = px.shape
     if lib is None or V > 8:
         return None
-    px = np.ascontiguousarray(px, dtype=np.int32)
-    py = np.ascontiguousarray(py, dtype=np.int32)
+    # clip BEFORE the int32 narrowing: extreme projections (z ~ 0+) can
+    # exceed int32 and must stay invalid rather than wrap into range;
+    # clipping to [-1, dim] preserves the validity predicate exactly
+    px = np.ascontiguousarray(np.clip(px, -1, img_W), dtype=np.int32)
+    py = np.ascontiguousarray(np.clip(py, -1, img_H), dtype=np.int32)
     pz = np.ascontiguousarray(pz, dtype=np.float32)
     cls = np.ascontiguousarray(cls.reshape(-1), dtype=np.int32)
     out = np.zeros(size * size * n_classes, np.int64)

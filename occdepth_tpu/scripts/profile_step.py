@@ -31,7 +31,9 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--group", default=None, choices=(None, "scope"))
     ap.add_argument("--depth", type=int, default=3)
-    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--dtype", default=None,
+                    help="override compute dtype (default: the config's; "
+                         "bfloat16 for the flagship default)")
     ap.add_argument("--config", default=None,
                     help="profile a shipped YAML config instead of the "
                          "flagship KITTI stereo default")
@@ -43,12 +45,13 @@ def main():
         from occdepth_tpu.config import load_config, parse_overrides
 
         cfg = load_config(args.config, parse_overrides(args.overrides))
-        cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+        if args.dtype:
+            cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
     else:
         cfg = OccDepthConfig(
             dataset="kitti",
             use_stereo_depth_gt=(args.what == "train"),
-            compute_dtype=args.dtype,
+            compute_dtype=args.dtype or "bfloat16",
         )
     batch = make_synthetic_batch(
         cfg, batch_size=1, with_labels=(args.what != "forward")

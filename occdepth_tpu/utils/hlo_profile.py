@@ -174,9 +174,15 @@ def analyze_hlo_text(text: str, fused_flops: bool = True) -> List[InstrCost]:
         if im:
             symtab[im.group(1)] = im.group(2)
 
-    # Pass 2: FLOPs of convolution/dot instructions living INSIDE fused
-    # computations are charged to the fusion that calls them.
+    # Pass 2: per-computation totals.  comp_flops charges conv/dot FLOPs
+    # of fused computations to the fusion instruction that calls them;
+    # comp_cost sums a computation's full (bytes, flops) so call-like ops
+    # in ENTRY (while/conditional/call — e.g. a lax.scan'd train step) can
+    # be charged their body's per-iteration cost instead of being
+    # silently zero-costed.  One level of nesting (a while inside a while
+    # body is not expanded).
     comp_flops: Dict[str, int] = {}
+    comp_instrs: Dict[str, List[Tuple[str, str, str]]] = {}
     comp: Optional[str] = None
     for line in lines:
         m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\(.*\)\s*->", line)
@@ -187,12 +193,31 @@ def analyze_hlo_text(text: str, fused_flops: bool = True) -> List[InstrCost]:
         if not (im and comp):
             continue
         op = im.group(3)
+        rest = line[im.end() - 1:]
+        comp_instrs.setdefault(comp, []).append((op, im.group(2), rest))
         if op in ("convolution", "dot"):
-            rest = line[im.end() - 1:]
             ots = _operand_types(rest, symtab)
             f = (_conv_flops(im.group(2), rest, ots) if op == "convolution"
                  else _dot_flops(im.group(2), rest, ots))
             comp_flops[comp] = comp_flops.get(comp, 0) + f
+
+    def _comp_cost(name: str) -> Tuple[int, int]:
+        b = f = 0
+        for op, out_type, rest in comp_instrs.get(name, []):
+            if op in ("parameter", "constant", "tuple", "get-tuple-element",
+                      "bitcast"):
+                continue
+            ots = _operand_types(rest, symtab)
+            b += _shape_bytes(out_type) + sum(_shape_bytes(t) for t in ots)
+            if op == "convolution":
+                f += _conv_flops(out_type, rest, ots)
+            elif op == "dot":
+                f += _dot_flops(out_type, rest, ots)
+            elif op == "fusion":
+                cm = _CALLS_RE.search(rest)
+                if cm:
+                    f += comp_flops.get(cm.group(1), 0)
+        return b, f
 
     rows: List[InstrCost] = []
     in_entry = False
@@ -215,6 +240,8 @@ def analyze_hlo_text(text: str, fused_flops: bool = True) -> List[InstrCost]:
         ots = _operand_types(rest, symtab)
         b = _shape_bytes(out_type) + sum(_shape_bytes(t) for t in ots)
         flops = 0
+        om = _OPNAME_RE.search(line)
+        scope = om.group(1) if om else ""
         if op == "convolution":
             flops = _conv_flops(out_type, rest, ots)
         elif op == "dot":
@@ -223,8 +250,24 @@ def analyze_hlo_text(text: str, fused_flops: bool = True) -> List[InstrCost]:
             cm = _CALLS_RE.search(rest)
             if cm:
                 flops = comp_flops.get(cm.group(1), 0)
-        om = _OPNAME_RE.search(line)
-        scope = om.group(1) if om else ""
+        elif op in ("while", "conditional", "call"):
+            # charge ONE iteration / branch of every called computation;
+            # trip counts are not static — flag it in the scope
+            called: List[str] = []
+            for key in ("body", "condition", "to_apply",
+                        "true_computation", "false_computation"):
+                m2 = re.search(rf"{key}=%?([\w.\-]+)", rest)
+                if m2:
+                    called.append(m2.group(1))
+            m2 = re.search(r"branch_computations=\{([^}]*)\}", rest)
+            if m2:
+                called += re.findall(r"%?([\w.\-]+)", m2.group(1))
+            for cname in called:
+                cb, cf = _comp_cost(cname)
+                b += cb
+                flops += cf
+            scope = (scope + " [per-iteration cost; trip count unknown]"
+                     ).strip()
         t = max(flops / PEAK_FLOPS, b / HBM_BW) * 1e6
         rows.append(InstrCost(name, op, out_type.strip(), b, flops, t, scope))
     rows.sort(key=lambda r: -r.t_us)

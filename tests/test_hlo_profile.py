@@ -91,3 +91,22 @@ ENTRY %main (p0: f32[4,8], p1: f32[8,4]) -> f32[4,4] {
     assert len(rows) == 1
     assert rows[0].op == "fusion"
     assert rows[0].flops == 2 * 4 * 4 * 8
+
+
+def test_while_body_charged():
+    """Instructions inside loop bodies (lax.scan/fori_loop) must not be
+    silently zero-costed — the while op is charged one iteration of its
+    body/condition and flagged."""
+
+    def f(a, b):
+        def body(_, x):
+            return jnp.tanh(jnp.dot(x, b))
+
+        return jax.lax.fori_loop(0, 7, body, a)
+
+    rows = hlo_breakdown(f, jnp.ones((64, 64)), jnp.ones((64, 64)))
+    whiles = [r for r in rows if r.op == "while"]
+    assert whiles, "expected a while instruction at ENTRY"
+    w = whiles[0]
+    assert w.flops >= 2 * 64 * 64 * 64  # one iteration's dot
+    assert "trip count unknown" in w.scope
