@@ -855,6 +855,13 @@ class TorchOccDepth(nn.Module):
         cfg = self.cfg
         B, V = img.shape[:2]
         x_rgb = [self.net_rgb(img[:, v]) for v in range(V)]
+        if getattr(cfg, "share_2d_backbone_gradient", False):
+            # reference: views > 0 run under torch.no_grad
+            # (OccDepth.py:213-216); detaching the outputs is gradient-
+            # equivalent and keeps this oracle usable for grad parity
+            x_rgb = [x_rgb[0]] + [
+                {k: t.detach() for k, t in f.items()} for f in x_rgb[1:]
+            ]
 
         scene_dims = tuple(s // cfg.project_scale
                            for s in cfg.full_scene_size)
