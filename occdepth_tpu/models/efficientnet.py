@@ -74,15 +74,14 @@ class TfBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        orig = x.dtype
-        y = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=BN_EPS_TF,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(orig)
+        from occdepth_tpu.models.layers import _BNCore
+
+        # _BNCore = nn.BatchNorm bit-identical math, but the fp32
+        # stats+normalize are rematerialized in the backward instead of
+        # storing an fp32 copy of every encoder activation (layers.py).
+        return _BNCore(momentum=0.9, epsilon=BN_EPS_TF, name="BatchNorm_0")(
+            x, use_running_average=not train
+        )
 
 
 class SqueezeExcite(nn.Module):

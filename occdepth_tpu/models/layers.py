@@ -19,6 +19,65 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class _BNCore(nn.Module):
+    """Hand-rolled BatchNorm, bit-identical to flax nn.BatchNorm(dtype=f32).
+
+    Two TPU-motivated differences from wrapping nn.BatchNorm directly
+    (pytree/scope layout is unchanged — params scale/bias and batch_stats
+    mean/var under the same "BatchNorm_0" name):
+
+    * the fp32 cast + stats + normalize run under `jax.checkpoint`, so the
+      backward recomputes them from the bf16 input instead of storing an
+      fp32 copy of the activation — on the full 256x256x32 grid and the
+      370x1220 decoder maps those saved fp32 residuals were among the
+      largest HBM tensors of the train step (see docs/DESIGN.md);
+    * statistics math replicates flax's _compute_stats/_normalize exactly:
+      mean, mean2 = mean(x), mean(x^2); var = max(0, mean2 - mean^2);
+      y = (x - mean) * (rsqrt(var + eps) * scale) + bias, all fp32.
+    """
+
+    momentum: float  # flax-style momentum (1 - torch momentum)
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+        import jax
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        axes = tuple(range(x.ndim - 1))
+        eps = self.epsilon
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            mul = jax.lax.rsqrt(var + eps) * scale
+            y = (x.astype(jnp.float32) - mean) * mul + bias
+            return y.astype(x.dtype)
+
+        def bn_train(x, scale, bias):
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+            mul = jax.lax.rsqrt(var + eps) * scale
+            y = ((xf - mean) * mul + bias).astype(x.dtype)
+            return y, mean, var
+
+        y, mean, var = jax.checkpoint(bn_train)(x, scale, bias)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return y
+
+
 class BatchNorm(nn.Module):
     """BatchNorm matching torch defaults (eps 1e-5), fp32 statistics."""
 
@@ -28,15 +87,11 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        orig_dtype = x.dtype
-        y = nn.BatchNorm(
-            use_running_average=not train,
+        return _BNCore(
             momentum=1.0 - self.momentum_torch,
             epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+            name="BatchNorm_0",
+        )(x, use_running_average=not train)
 
 
 class ConvBN(nn.Module):
