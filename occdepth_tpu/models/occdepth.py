@@ -252,3 +252,51 @@ class OccDepthModel(nn.Module):
         if "P_logits" in net_out:
             out["P_logits"] = net_out["P_logits"].astype(jnp.float32)
         return out
+
+
+def eval_apply(
+    model: OccDepthModel,
+    variables: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    unroll: Optional[bool] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Eval-mode apply, per-sample-unrolled on a single device.
+
+    Generalizes the in-model 3D-decoder unroll (see __call__ above) to the
+    WHOLE forward: at eval batch >= 2 on one chip, XLA's layout assignment
+    regresses several full-grid stages (measured 29 -> 41 ms/frame even
+    with the decoder unrolled); applying the functional model once per
+    sample inside the same jit keeps every sub-graph at the known-good
+    batch-1 shapes while still amortizing one dispatch over B frames.
+    Parameters are shared by construction (same `variables` pytree).
+
+    Skipped (batched apply) when:
+      * B == 1 — nothing to unroll;
+      * multiple devices — per-chip batch is 1 under data parallelism, and
+        slicing a data-sharded batch would make GSPMD replicate the model;
+      * NYU with use_depth_gt — the reference broadcasts sample 0's
+        disparity over the whole batch in generate_virtual_img
+        (OccDepth.py:257), so per-sample unrolling would change batched
+        eval numerics; parity wins there.
+    """
+    B = batch["img"].shape[0]
+    cfg = model.cfg
+    if unroll is None:
+        unroll = (
+            B > 1
+            and jax.device_count() == 1
+            and not (cfg.dataset == "NYU" and cfg.use_depth_gt)
+        )
+    if not unroll or B == 1:
+        return model.apply(variables, batch, train=False)
+    outs = [
+        model.apply(
+            variables,
+            {k: v[i: i + 1] for k, v in batch.items()},
+            train=False,
+        )
+        for i in range(B)
+    ]
+    return {
+        k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+    }

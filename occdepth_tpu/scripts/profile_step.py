@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--config", default=None,
                     help="profile a shipped YAML config instead of the "
                          "flagship KITTI stereo default")
+    ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     enable()
@@ -54,7 +55,7 @@ def main():
             compute_dtype=args.dtype or "bfloat16",
         )
     batch = make_synthetic_batch(
-        cfg, batch_size=1, with_labels=(args.what != "forward")
+        cfg, batch_size=args.batch_size, with_labels=(args.what != "forward")
     )
 
     if args.what == "forward":
