@@ -61,18 +61,9 @@ def main():
     import jax.numpy as jnp
 
     if args.torch_ckpt:
-        from occdepth_tpu.training.convert_torch import load_torch_checkpoint
+        from occdepth_tpu.training.convert_torch import load_torch_into_state
 
-        variables, missing = load_torch_checkpoint(args.torch_ckpt, cfg)
-        if missing:
-            print(f"WARNING: {len(missing)} torch keys not found, e.g. "
-                  f"{missing[:5]}")
-        state = state.replace(
-            params=jax.tree_util.tree_map(jnp.asarray, variables["params"]),
-            batch_stats=jax.tree_util.tree_map(
-                jnp.asarray, variables["batch_stats"]
-            ),
-        )
+        state = load_torch_into_state(state, args.torch_ckpt, cfg)
     else:
         restored = trainer.ckpt.restore(state, args.ckpt)
         if restored is None:

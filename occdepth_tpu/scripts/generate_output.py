@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", default="last")
+    ap.add_argument("--torch-ckpt", default=None,
+                    help="reference PyTorch .ckpt to convert and run")
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
@@ -39,9 +41,14 @@ def main():
     tx = make_optimizer(cfg, 1)
     example = strip_metadata(next(iter(loader)))
     state = init_state(cfg, jax.random.PRNGKey(0), example, tx)
-    restored = trainer.ckpt.restore(state, args.ckpt)
-    if restored is not None:
-        state = jax.tree_util.tree_map(jnp.asarray, restored)
+    if args.torch_ckpt:
+        from occdepth_tpu.training.convert_torch import load_torch_into_state
+
+        state = load_torch_into_state(state, args.torch_ckpt, cfg)
+    else:
+        restored = trainer.ckpt.restore(state, args.ckpt)
+        if restored is not None:
+            state = jax.tree_util.tree_map(jnp.asarray, restored)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     for path in dump_records(cfg, variables, loader, args.output_dir):

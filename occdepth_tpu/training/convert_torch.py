@@ -277,3 +277,23 @@ def load_torch_checkpoint(path: str, cfg: OccDepthConfig):
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     params, stats, missing = convert_state_dict(sd, cfg)
     return {"params": params, "batch_stats": stats}, missing
+
+
+def load_torch_into_state(state, path: str, cfg: OccDepthConfig):
+    """Replace a TrainState's params/batch_stats with a converted torch
+    checkpoint — the released-checkpoint path shared by the eval /
+    generate_output / submission / infer CLIs (reference
+    scripts/eval.py:65-70 `load_from_checkpoint`)."""
+    import jax
+    import jax.numpy as jnp
+
+    variables, missing = load_torch_checkpoint(path, cfg)
+    if missing:
+        print(f"WARNING: {len(missing)} torch keys not found, e.g. "
+              f"{missing[:5]}")
+    return state.replace(
+        params=jax.tree_util.tree_map(jnp.asarray, variables["params"]),
+        batch_stats=jax.tree_util.tree_map(
+            jnp.asarray, variables["batch_stats"]
+        ),
+    )
