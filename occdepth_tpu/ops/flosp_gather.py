@@ -50,7 +50,9 @@ def flosp_gather_flat(
     pix: jnp.ndarray,  # (B, V, N, P, 2) int pixel coords at this scale
     fov_mask: jnp.ndarray,  # (B, V, N, P) bool
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """All (batch, view) maps gathered in one flat take.
+    """Gather every (batch, view) map's pattern pixels and mean over in-FOV
+    points.  One `jnp.take` is issued per (b, v) map — unrolled below the
+    XLA TPU gather size cliff (see docs/DESIGN.md), not one flat take.
 
     Returns ((B, V, N, C) float32 per-voxel means, (B, V, N) float32 valid).
     """
