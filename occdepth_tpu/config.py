@@ -136,6 +136,12 @@ class OccDepthConfig:
     # than XLA's fused lowering for these shapes on v5e, so off by default
     # (kept as a tested capability / for other shapes).
     use_pallas: bool = False
+    # Per-(batch,view)-map unrolled gathers in SFA / flosp_depth: fastest
+    # on a single chip (below the XLA TPU gather size cliff) but slices the
+    # batch dim, which under a data-sharded mesh makes GSPMD emit hundreds
+    # of collective-permutes.  Multi-device paths (trainer, dryrun, DP
+    # tests) set False -> batch-dim-preserving take_along_axis gathers.
+    unroll_gathers: bool = True
     # 2D-decoder 3x3 conv path: "auto" (shifted-matmul/Pallas on TPU,
     # XLA conv elsewhere — see ops/conv2d_shift.py), or force one of
     # "xla" | "shift" | "pallas".

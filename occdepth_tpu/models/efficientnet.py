@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 # (width_coefficient, depth_coefficient)
 VARIANTS = {
+    "tf_efficientnet_b0_ns": (1.0, 1.0),
     "tf_efficientnet_b3_ns": (1.2, 1.4),
     "tf_efficientnet_b4_ns": (1.4, 1.8),
     "tf_efficientnet_b5_ns": (1.6, 2.2),

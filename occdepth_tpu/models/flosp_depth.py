@@ -87,6 +87,7 @@ class FlospDepth(nn.Module):
     dataset: str
     return_depth: bool
     dtype: Optional[Any] = None
+    unroll_gathers: bool = True
 
     def _grid_spec(self) -> FrustumGridSpec:
         c = self.conf
@@ -174,6 +175,7 @@ class FlospDepth(nn.Module):
             vol.reshape((B * n_cams,) + vol.shape[2:]),
             grids.reshape((B * n_cams, X_, Y_, Z_, 3)),
             align_corners=False,
+            unroll=self.unroll_gathers,
         ).reshape(B, n_cams, X_, Y_, Z_)[..., None]
         # (B, V, X, Y, Z, 1)
 

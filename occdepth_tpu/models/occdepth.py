@@ -163,6 +163,7 @@ class OccDepthModel(nn.Module):
             scene_dims,
             cfg.dataset,
             use_pallas=use_pallas,
+            unroll_gathers=cfg.unroll_gathers,
         )  # (B, X, Y, Z, C) fp32
 
         out: Dict[str, jnp.ndarray] = {}
@@ -180,6 +181,7 @@ class OccDepthModel(nn.Module):
                 dataset=cfg.dataset,
                 return_depth=cfg.with_depth_gt,
                 dtype=dtype,
+                unroll_gathers=cfg.unroll_gathers,
                 name="flosp_depth",
             )
             result = fd(

@@ -28,6 +28,7 @@ def sfa_lift(
     scene_dims: Tuple[int, int, int],
     dataset: str,
     use_pallas: bool = False,
+    unroll_gathers: bool = True,
 ) -> jnp.ndarray:
     """Lift multi-scale 2D features to the 3D grid, summed over scales.
 
@@ -45,7 +46,7 @@ def sfa_lift(
     for scale in project_res:
         pix = projected_pix // scale if scale > 1 else projected_pix
         feats, valid = flosp_gather_flat(
-            x_rgb[f"1_{scale}"], pix, fov_mask
+            x_rgb[f"1_{scale}"], pix, fov_mask, unroll=unroll_gathers
         )  # (B, V, N, C), (B, V, N)
         fused = fuse(feats, valid)  # (B, N, C)
         x3d = fused if x3d is None else x3d + fused

@@ -49,10 +49,18 @@ def flosp_gather_flat(
     x2d: jnp.ndarray,  # (B, V, h, w, C)
     pix: jnp.ndarray,  # (B, V, N, P, 2) int pixel coords at this scale
     fov_mask: jnp.ndarray,  # (B, V, N, P) bool
+    unroll: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather every (batch, view) map's pattern pixels and mean over in-FOV
-    points.  One `jnp.take` is issued per (b, v) map — unrolled below the
-    XLA TPU gather size cliff (see docs/DESIGN.md), not one flat take.
+    points.
+
+    With ``unroll=True`` (single-device default) one `jnp.take` is issued
+    per (b, v) map — unrolled below the XLA TPU gather size cliff (see
+    docs/DESIGN.md), not one flat take.  With ``unroll=False`` the gather
+    is a single batch-dim-preserving `take_along_axis`: required under a
+    data-sharded batch, where slicing `x2d[b]` would cross device shards
+    and GSPMD would insert hundreds of collective-permutes (cfg
+    `unroll_gathers`; both paths are bit-identical, tests/test_ops.py).
 
     Returns ((B, V, N, C) float32 per-voxel means, (B, V, N) float32 valid).
     """
@@ -61,16 +69,25 @@ def flosp_gather_flat(
     idx = pix[..., 1] * w + pix[..., 0]  # (B, V, N, P)
     idx = jnp.where(fov_mask, idx, h * w).astype(jnp.int32)
 
-    per_map = []
-    for b in range(B):
-        for v in range(V):
-            flat = x2d[b, v].reshape(h * w, C)
-            flat = jnp.concatenate(
-                [flat, jnp.zeros((1, C), flat.dtype)], axis=0)
-            per_map.append(
-                jnp.take(flat, idx[b, v].reshape(-1), axis=0)
-            )
-    gathered = jnp.stack(per_map).reshape(B, V, N, P, C)
+    if unroll:
+        per_map = []
+        for b in range(B):
+            for v in range(V):
+                flat = x2d[b, v].reshape(h * w, C)
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((1, C), flat.dtype)], axis=0)
+                per_map.append(
+                    jnp.take(flat, idx[b, v].reshape(-1), axis=0)
+                )
+        gathered = jnp.stack(per_map).reshape(B, V, N, P, C)
+    else:
+        tables = x2d.reshape(B, V, h * w, C)
+        tables = jnp.concatenate(
+            [tables, jnp.zeros((B, V, 1, C), tables.dtype)], axis=2
+        )
+        gathered = jnp.take_along_axis(
+            tables, idx.reshape(B, V, N * P, 1), axis=2
+        ).reshape(B, V, N, P, C)
     if P == 1:
         # single-point pattern (pattern_id 0, the flagship): the mean over
         # in-FOV points is the gathered value itself (sentinel rows are

@@ -136,6 +136,7 @@ def frustum_sample_lanes_batched(
     vol: jnp.ndarray,  # (G, D, H, W) scalar frustum volumes
     grid: jnp.ndarray,  # (G, ..., 3) normalized (x->W, y->H, z->D)
     align_corners: bool = False,
+    unroll: bool = True,
 ) -> jnp.ndarray:
     """`frustum_sample_lanes` for G maps, gathers statically unrolled.
 
@@ -144,6 +145,12 @@ def frustum_sample_lanes_batched(
     batched gathers (vmap) and takes whose index count exceeds ~262k rows
     are 12-25x slower than the same rows fetched as independent single-map
     takes (measured v5e, bench_gather2).
+
+    ``unroll=False`` keeps the G (batch*views) dim intact and gathers with
+    one `take_along_axis` instead: mandatory when G is data-sharded —
+    slicing `tables[g]` across shards makes GSPMD emit per-map
+    collective-permutes (cfg `unroll_gathers`).  Both paths bit-identical
+    (tests/test_ops.py).
     """
     G, D, H, W = vol.shape
     tables = vol.transpose(0, 2, 3, 1).reshape(G, H * W, D)
@@ -174,9 +181,14 @@ def frustum_sample_lanes_batched(
             gx = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
             gy = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
             idx = gy * W + gx  # (G, M)
-            rows = jnp.stack([
-                jnp.take(tables[g], idx[g], axis=0) for g in range(G)
-            ])  # (G, M, D)
+            if unroll:
+                rows = jnp.stack([
+                    jnp.take(tables[g], idx[g], axis=0) for g in range(G)
+                ])  # (G, M, D)
+            else:
+                rows = jnp.take_along_axis(
+                    tables, idx[..., None], axis=1
+                )  # (G, M, D)
             contrib = rows * w[..., None]
             acc = contrib if acc is None else acc + contrib
 

@@ -91,3 +91,52 @@ def tiny_nyu_config(**overrides) -> OccDepthConfig:
     )
     base.update(overrides)
     return OccDepthConfig(**base)
+
+
+def synthetic_state(cfg: OccDepthConfig, batch, tx):
+    """TrainState with host-materialized parameters — no init compile.
+
+    ``init_state`` jits ``model.init``, a full-model XLA compile that costs
+    ~40-140 s on a 1-core host; correctness *gates* (dryrun_multichip) only
+    need a state with the right pytree structure and non-degenerate values.
+    ``jax.eval_shape`` traces init without compiling or executing it, and
+    the leaves are then materialized on host: kernels from a deterministic
+    per-leaf normal(0, 0.05), `scale`-named leaves 1, everything else 0
+    (biases, BN running stats; running stats are only written, never read,
+    by a train-mode step).
+    """
+    import jax
+    import numpy as np
+
+    from occdepth_tpu.training.step import TrainState, create_model
+
+    model = create_model(cfg)
+    shapes = jax.eval_shape(
+        lambda r, b: model.init(r, b, train=False), jax.random.PRNGKey(0),
+        batch,
+    )
+
+    idx = [0]
+
+    def materialize(path, leaf):
+        idx[0] += 1
+        names = [getattr(p, "key", "") for p in path]
+        if "scale" in names:
+            arr = np.ones(leaf.shape, np.float32)
+        elif any(n in ("kernel", "embedding") for n in names):
+            rng = np.random.RandomState(idx[0])
+            arr = 0.05 * rng.randn(*leaf.shape).astype(np.float32)
+        else:
+            arr = np.zeros(leaf.shape, np.float32)
+        return arr.astype(leaf.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(materialize, shapes)
+    params = variables["params"]
+    import jax.numpy as jnp
+
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )

@@ -45,12 +45,22 @@ def create_model(cfg: OccDepthConfig) -> OccDepthModel:
 
 
 def init_state(
-    cfg: OccDepthConfig, rng: jax.Array, batch, tx: optax.GradientTransformation
+    cfg: OccDepthConfig,
+    rng: jax.Array,
+    batch,
+    tx: optax.GradientTransformation,
+    jit_init: bool = True,
 ) -> TrainState:
+    """``jit_init=False`` runs init op-by-op (eager): slower per-op but
+    skips the whole-init XLA compile — the right trade for one-shot gates
+    on hosts where a full-model compile takes minutes (dryrun_multichip)."""
     model = create_model(cfg)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        rng, batch, train=False
-    )
+    if jit_init:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            rng, batch, train=False
+        )
+    else:
+        variables = model.init(rng, batch, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

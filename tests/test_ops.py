@@ -96,3 +96,42 @@ def test_multiview_cosine_fuse_matches_reference_formula(rng):
     w1 = cos + (tm[1] - tm[0] > 0).float()
     ref = (w0[:, None] * tf[0] + w1[:, None] * tf[1]) / 2
     np.testing.assert_allclose(out, ref.numpy(), atol=1e-5)
+
+
+def test_flosp_gather_flat_batched_matches_unrolled(rng):
+    """unroll=False (batch-dim-preserving take_along_axis, the DP-sharded
+    path) is bit-identical to the unrolled per-map takes."""
+    from occdepth_tpu.ops.flosp_gather import flosp_gather_flat
+
+    B, V, h, w, C, N, P = 3, 2, 6, 7, 4, 11, 3
+    x2d = jnp.asarray(rng.randn(B, V, h, w, C).astype(np.float32))
+    pix = jnp.asarray(
+        np.stack(
+            [rng.randint(0, w, (B, V, N, P)), rng.randint(0, h, (B, V, N, P))],
+            axis=-1,
+        ).astype(np.int32)
+    )
+    fov = jnp.asarray(rng.rand(B, V, N, P) > 0.4)
+    f_u, v_u = flosp_gather_flat(x2d, pix, fov, unroll=True)
+    f_b, v_b = flosp_gather_flat(x2d, pix, fov, unroll=False)
+    np.testing.assert_array_equal(np.asarray(f_u), np.asarray(f_b))
+    np.testing.assert_array_equal(np.asarray(v_u), np.asarray(v_b))
+    # P=1 fast path too
+    f_u1, v_u1 = flosp_gather_flat(x2d, pix[:, :, :, :1], fov[..., :1],
+                                   unroll=True)
+    f_b1, v_b1 = flosp_gather_flat(x2d, pix[:, :, :, :1], fov[..., :1],
+                                   unroll=False)
+    np.testing.assert_array_equal(np.asarray(f_u1), np.asarray(f_b1))
+    np.testing.assert_array_equal(np.asarray(v_u1), np.asarray(v_b1))
+
+
+def test_frustum_sample_lanes_batched_matches_unrolled(rng):
+    from occdepth_tpu.ops.grid_sample import frustum_sample_lanes_batched
+
+    G, D, H, W = 4, 5, 6, 7
+    vol = jnp.asarray(rng.randn(G, D, H, W).astype(np.float32))
+    grid = jnp.asarray((rng.rand(G, 3, 4, 5, 3) * 2.4 - 1.2).astype(np.float32))
+    for ac in (False, True):
+        out_u = frustum_sample_lanes_batched(vol, grid, ac, unroll=True)
+        out_b = frustum_sample_lanes_batched(vol, grid, ac, unroll=False)
+        np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_b))
