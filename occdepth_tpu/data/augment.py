@@ -60,7 +60,6 @@ def color_jitter(
         if kind == "b":
             out = out * f
         elif kind == "c":
-            mean = out.mean(axis=(0, 1), keepdims=True).mean()
             gray = 0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
             out = gray.mean() * (1 - f) + out * f
         else:
@@ -68,7 +67,12 @@ def color_jitter(
                 0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
             )[..., None]
             out = gray * (1 - f) + out * f
-    return np.clip(out, 0.0, 1.0)
+        # PIL ImageEnhance saturates to uint8 range after EVERY op; a
+        # single final clip diverges badly for saturated pixels (e.g.
+        # brightness 1.4 then contrast 0.6 operating on the unclamped
+        # value).  Clamp per op like the reference's PIL path.
+        out = np.clip(out, 0.0, 1.0)
+    return out
 
 
 def gaussian_blur(img: np.ndarray, rng: np.random.RandomState,
