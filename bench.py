@@ -92,6 +92,10 @@ def main():
         "value": round(best, 3),
         "unit": "frames/sec",
         "vs_baseline": round(best / BASELINE_2080TI_FPS, 3),
+        # the reference publishes no fps figure (SURVEY.md §6); the
+        # denominator is our documented 2.0 fps estimate for the 2080 Ti
+        "baseline_assumed": True,
+        "baseline_fps": BASELINE_2080TI_FPS,
     }))
 
 
