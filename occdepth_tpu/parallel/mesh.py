@@ -80,7 +80,25 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis=None, batch_dim=0):
     `batch_dim=1` handles gradient-accumulation batches shaped
     (K_microbatches, B, ...): the microbatch dim stays unsharded (it is
     scanned over), B is split across the mesh.
+
+    Rejects batches whose sharded dim is not divisible by the mesh's
+    total device count — the TPU analogue of DDP's per-rank batch
+    requirement (the reference drops ragged remainders via its sampler;
+    the eval path here pads + masks instead, scripts/eval.py).
     """
+    n = int(np.prod([mesh.shape[a] for a in (
+        mesh.axis_names if axis is None
+        else ((axis,) if isinstance(axis, str) else axis)
+    )]))
+    for k, x in batch.items():
+        dim = getattr(x, "shape", ())[batch_dim] if (
+            len(getattr(x, "shape", ())) > batch_dim) else None
+        if dim is not None and dim % n:
+            raise ValueError(
+                f"batch[{k!r}] dim {batch_dim} = {dim} not divisible by "
+                f"the mesh's {n} devices — pad the batch or drop the "
+                "remainder (uneven per-device batches are not supported)"
+            )
     sharding = batch_sharding(mesh, axis, batch_dim)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
