@@ -420,10 +420,13 @@ class TorchCPMegaVoxels(nn.Module):
 
 
 class TorchSegHeadCascade(nn.Module):
-    """SegmentationHeadCascadeCLS (modules.py:109-175)."""
+    """SegmentationHeadCascadeCLS (modules.py:109-175); with cascade=False
+    the plain SegmentationHead (modules.py:51-106) — no occupancy branch,
+    as in the released non-cascade NYU config."""
 
-    def __init__(self, planes, n_classes, dils=(1, 2, 3)):
+    def __init__(self, planes, n_classes, dils=(1, 2, 3), cascade=True):
         super().__init__()
+        self.cascade = cascade
         self.conv0 = nn.Conv3d(planes, planes, 3, padding=1)
         self.conv1 = nn.ModuleList([
             nn.Conv3d(planes, planes, 3, padding=d, dilation=d, bias=False)
@@ -435,8 +438,11 @@ class TorchSegHeadCascade(nn.Module):
             for d in dils
         ])
         self.bn2 = nn.ModuleList([nn.BatchNorm3d(planes) for _ in dils])
-        self.occ_classes = nn.Conv3d(planes, 2, 3, padding=1)
-        self.conv_classes = nn.Conv3d(planes + 2, n_classes, 3, padding=1)
+        if cascade:
+            self.occ_classes = nn.Conv3d(planes, 2, 3, padding=1)
+            self.conv_classes = nn.Conv3d(planes + 2, n_classes, 3, padding=1)
+        else:
+            self.conv_classes = nn.Conv3d(planes, n_classes, 3, padding=1)
 
     def forward(self, x):
         x = torch.relu(self.conv0(x))
@@ -445,6 +451,8 @@ class TorchSegHeadCascade(nn.Module):
             h = b2(c2(torch.relu(b1(c1(x)))))
             y = h if y is None else y + h
         x = torch.relu(y + x)
+        if not self.cascade:
+            return self.conv_classes(x), None
         occ = self.occ_classes(x)
         x = torch.cat([x, torch.softmax(occ, dim=1)], dim=1)
         return self.conv_classes(x), occ
@@ -919,7 +927,8 @@ class TorchUNet3DNYU(nn.Module):
     """UNet3D NYU (unet3d_nyu.py:16-110) with reference naming."""
 
     def __init__(self, n_classes, feature, full_scene_size,
-                 context_prior=True, n_relations=4, bn_momentum=0.1):
+                 context_prior=True, n_relations=4, bn_momentum=0.1,
+                 cascade_cls=True):
         super().__init__()
         self.process_1_4 = nn.Sequential(
             TorchProcess(feature, bn_momentum),
@@ -932,7 +941,8 @@ class TorchUNet3DNYU(nn.Module):
         self.up_1_16_1_8 = TorchUpsample3D(feature * 4, feature * 2,
                                            bn_momentum)
         self.up_1_8_1_4 = TorchUpsample3D(feature * 2, feature, bn_momentum)
-        self.ssc_head_1_4 = TorchSegHeadCascade(feature, n_classes)
+        self.ssc_head_1_4 = TorchSegHeadCascade(feature, n_classes,
+                                                cascade=cascade_cls)
         self.context_prior = context_prior
         if context_prior:
             size_1_16 = tuple(-(-s // 4) for s in full_scene_size)
@@ -953,7 +963,8 @@ class TorchUNet3DNYU(nn.Module):
         x3d_up_1_4 = self.up_1_8_1_4(x3d_up_1_8) + x3d_1_4
         ssc_logit, occ_logit = self.ssc_head_1_4(x3d_up_1_4)
         res["ssc_logit"] = ssc_logit
-        res["occ_logit"] = occ_logit
+        if occ_logit is not None:
+            res["occ_logit"] = occ_logit
         return res
 
 
@@ -996,6 +1007,7 @@ class TorchOccDepthNYU(nn.Module):
         self.net_3d_decoder = TorchUNet3DNYU(
             cfg.n_classes, cfg.feature, cfg.full_scene_size,
             context_prior=cfg.context_prior, n_relations=cfg.n_relations,
+            cascade_cls=cfg.cascade_cls,
         )
 
     def forward(self, img, projected_pix, fov_mask, gt_depth, virtual_bf):
