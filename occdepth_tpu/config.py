@@ -70,6 +70,10 @@ class OccDepthConfig:
 
     # training
     max_epochs: int = 30
+    # Lightning Trainer(log_every_n_steps=10) (scripts/train.py:184,200);
+    # =1 gives the per-step loss trajectory the resume-determinism check
+    # compares bitwise
+    log_every_n_steps: int = 10
     gradient_clip_val: float = 35.0
     use_stereo_depth_gt: bool = False
     use_lidar_depth_gt: bool = False
@@ -154,6 +158,17 @@ class OccDepthConfig:
     # in-context cost of the gather backwards (table scatter-adds + the
     # per-scale resize-conv backward coupling) without changing the forward.
     sfa_bwd_stop_scales: Tuple[int, ...] = ()
+    # Scheduling-tuning knob: wrap the 2D-backbone outputs and the lifted
+    # 3D volume in lax.optimization_barrier (differentiable identity that
+    # stops cross-stage fusion/reordering).  Equivalent graphs swing
+    # +-40 ms from XLA scheduling alone (docs/DESIGN.md); this pins the
+    # stage boundaries so the scheduler works stage-local.
+    stage_barriers: bool = False
+    # Single-device batch>=2 eval: unroll the 3D decoder (and, via
+    # eval_apply, the whole forward) per sample to dodge XLA's batched
+    # full-grid layout pathology (docs/DESIGN.md finding #7).  Off = the
+    # single batched code path (for layout experiments / future compilers).
+    eval_unroll: bool = True
 
     # Overrides for reduced-size test/debug scenes (None = dataset defaults)
     scene_size_m: Optional[Tuple[float, float, float]] = None

@@ -129,6 +129,15 @@ class OccDepthModel(nn.Module):
                     )
                 x_rgb[k] = v
 
+        if cfg.stage_barriers:
+            # pin the backbone/lift boundary: the scheduler may not fuse or
+            # reorder across it (differentiable identity; see config.py)
+            keys = sorted(x_rgb)
+            vals = jax.lax.optimization_barrier(
+                tuple(x_rgb[k] for k in keys)
+            )
+            x_rgb = dict(zip(keys, vals))
+
         # ---- NYU virtual right view from RGB-D (OccDepth.py:222-260) ----
         if cfg.dataset == "NYU" and cfg.use_depth_gt and "gt_depth" in batch:
             bf = batch["virtual_bf"].reshape(-1)[0].astype(jnp.float32)
@@ -165,6 +174,9 @@ class OccDepthModel(nn.Module):
             use_pallas=use_pallas,
             unroll_gathers=cfg.unroll_gathers,
         )  # (B, X, Y, Z, C) fp32
+
+        if cfg.stage_barriers:
+            x3d = jax.lax.optimization_barrier(x3d)
 
         out: Dict[str, jnp.ndarray] = {}
 
@@ -227,7 +239,7 @@ class OccDepthModel(nn.Module):
                 name="net_3d_decoder",
             )
         x3d = x3d.astype(dtype)
-        if not train and B > 1 and jax.device_count() == 1:
+        if not train and B > 1 and jax.device_count() == 1 and cfg.eval_unroll:
             # XLA's layout assignment goes pathological on the full-scale
             # 3D tensors at batch >= 2 (measured 12.6 -> 149 ms for the 3D
             # UNet at batch 2: multi-GB lane-padded copies around the
@@ -286,6 +298,7 @@ def eval_apply(
     if unroll is None:
         unroll = (
             B > 1
+            and cfg.eval_unroll
             and jax.device_count() == 1
             and not (cfg.dataset == "NYU" and cfg.use_depth_gt)
         )

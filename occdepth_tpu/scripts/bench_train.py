@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize the 2D backbone (fits batch 2)")
+    ap.add_argument("--barriers", action="store_true",
+                    help="optimization_barrier at stage boundaries "
+                         "(cfg.stage_barriers)")
     ap.add_argument("--json", action="store_true",
                     help="emit one JSON line (artifact format)")
     args = ap.parse_args()
@@ -37,7 +40,7 @@ def main():
 
     cfg = OccDepthConfig(
         dataset="kitti", use_stereo_depth_gt=True, compute_dtype=args.dtype,
-        remat_backbone=args.remat,
+        remat_backbone=args.remat, stage_barriers=args.barriers,
     )
     batch = make_synthetic_batch(cfg, batch_size=args.batch, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=1000)

@@ -86,3 +86,44 @@ def test_eval_batch_unroll_matches_batched(monkeypatch):
             np.asarray(unrolled[k]), np.asarray(batched[k]),
             atol=1e-5, rtol=1e-5, err_msg=k,
         )
+
+
+def test_stage_barriers_is_identity(kitti_setup):
+    """cfg.stage_barriers wraps stage boundaries in
+    lax.optimization_barrier — a scheduling hint that must be a pure
+    identity for both outputs and gradients (docs/DESIGN.md round-3
+    composition-tax experiments)."""
+    import dataclasses
+
+    cfg, batch, model, variables = kitti_setup
+    model_b = OccDepthModel(cfg=dataclasses.replace(cfg, stage_barriers=True))
+
+    base = model.apply(variables, batch, train=False)
+    barred = model_b.apply(variables, batch, train=False)
+    assert set(base) == set(barred)
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(barred[k]), np.asarray(base[k]),
+            atol=1e-5, rtol=1e-5, err_msg=k,
+        )
+
+    def loss(m):
+        def f(params):
+            out = m.apply(
+                {**variables, "params": params}, batch, train=True,
+                mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(out["ssc_logit"].astype(jnp.float32) ** 2)
+        return f
+
+    g0 = jax.grad(loss(model))(variables["params"])
+    g1 = jax.grad(loss(model_b))(variables["params"])
+    for (p0, l0), (p1, l1) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g0), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g1), key=lambda t: str(t[0])),
+    ):
+        assert str(p0) == str(p1)
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l0), atol=1e-4, rtol=1e-4,
+            err_msg=str(p0),
+        )
