@@ -80,6 +80,21 @@ def make_datasets(cfg: OccDepthConfig):
     raise ValueError(cfg.dataset)
 
 
+def nominal_total_batches(steps_per_epoch: int) -> int:
+    """Denominator of the sem-step-decay progress fraction.
+
+    The reference pins it to a NOMINAL 30-epoch schedule independent of
+    the configured max_epochs — hardcoded dataset lengths x 30
+    (OccDepth.py:140-147: ``(3834 // batch_size) * 30`` for KITTI,
+    ``(795 // batch_size) * 30`` for NYU).  We derive the per-epoch step
+    count from the real dataset length (so toy/subset runs scale), but
+    keep the x30 constant: runs with max_epochs != 30 intentionally see
+    the same decay-vs-step curve as the reference, NOT a curve stretched
+    to their own epoch budget.
+    """
+    return steps_per_epoch * 30
+
+
 def strip_metadata(batch: Dict) -> Dict:
     return {k: v for k, v in batch.items() if k not in ("frame_id", "sequence")}
 
@@ -126,9 +141,7 @@ class Trainer:
         # stepped short (Lightning steps on the remainder; configs ship
         # with accumulate_grad_batches=1 so this never differs in practice)
         steps_per_epoch = max(1, len(train_loader) // accum)
-        # reference semantics: progress over a nominal 30-epoch schedule
-        # (OccDepth.py:140-147), derived from the real dataset length here
-        total_batches = steps_per_epoch * 30
+        total_batches = nominal_total_batches(steps_per_epoch)
 
         tx = make_optimizer(cfg, steps_per_epoch)
         example = strip_metadata(next(iter(val_loader)))
@@ -184,7 +197,7 @@ class Trainer:
                 )
                 train_metrics.merge_device(completion, conf)
                 step += 1
-                if step % 10 == 0:
+                if step % cfg.log_every_n_steps == 0:
                     logs = {k: float(v) for k, v in logs.items()}
                     logs["steps_per_sec"] = step / max(
                         1e-9, time.time() - t_start

@@ -56,3 +56,21 @@ def test_fit_two_steps_and_resume(tmp_path):
     trainer2 = Trainer(cfg, logdir=str(tmp_path))
     state2 = trainer2.fit(train_ds, val_ds)
     assert int(state2.step) >= int(state.step)
+
+
+def test_progress_denominator_is_nominal_30_epochs():
+    """The sem-step-decay progress denominator follows the reference's
+    NOMINAL 30-epoch schedule (OccDepth.py:140-147 hardcodes
+    dataset_len//bs * 30) regardless of the configured max_epochs —
+    a max_epochs=2 run must see the same decay-vs-step curve as a
+    max_epochs=30 run, not one stretched to its own budget."""
+    from occdepth_tpu.training.trainer import nominal_total_batches
+
+    assert nominal_total_batches(3834) == 3834 * 30  # KITTI bs=1
+    assert nominal_total_batches(795) == 795 * 30    # NYU bs=1
+    # no max_epochs dependence by construction: the helper takes only
+    # steps_per_epoch
+    import inspect
+
+    params = inspect.signature(nominal_total_batches).parameters
+    assert list(params) == ["steps_per_epoch"]
