@@ -19,10 +19,17 @@ RNG; training/trainer.py:150-164), and this script proves it end to end:
 
 Artifacts land in --base: A/metrics.jsonl, B/metrics.jsonl, and a
 summary JSON printed at the end (committed copy:
-docs/artifacts/resume_determinism_r3.json).
+docs/artifacts/resume_determinism_r4.json).
+
+The toy tree trains 2 steps/epoch (4 samples, batch 2), so `--epochs 60`
+is 120 total steps; `--kill-step` must be < that and odd to land the
+SIGKILL mid-epoch (default 61 = during epoch 31, one step past the
+epoch-30 checkpoint).  `--reuse-a` skips rerunning run A when its
+metrics.jsonl already holds a complete straight-through run (~50 min on
+this host), e.g. when only run B needs repeating.
 
     python -m occdepth_tpu.scripts.check_resume_determinism \
-        --base /tmp/resume_check --epochs 60 --kill-step 140
+        --base /tmp/resume_check --epochs 60 --kill-step 61
 """
 from __future__ import annotations
 
@@ -40,9 +47,9 @@ SKIP_KEYS = {"time", "steps_per_sec"}
 
 
 def build_tree(base: str) -> None:
-    script = os.path.join(REPO, ".claude", "skills", "verify", "assets",
-                          "make_ta_tree.py")
-    subprocess.run([sys.executable, script, base], check=True)
+    from occdepth_tpu.testing import make_tartanair_tree
+
+    make_tartanair_tree(base)
 
 
 def train_cmd(base: str, logdir: str, epochs: int):
@@ -80,7 +87,14 @@ def read_records(logdir: str):
     recs = {}
     with open(metrics_path(logdir)) as f:
         for line in f:
-            r = json.loads(line)
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                # a SIGKILL mid-write can truncate the final line of run
+                # B's interrupted segment; the resumed run rewrites the
+                # step, so skipping it is correct (compare() still checks
+                # every step against run A)
+                continue
             key = (r["step"], "val/mIoU" in r)  # train + epoch records
             recs[key] = r
     return recs
@@ -110,14 +124,33 @@ def run_and_kill(cmd, log_file, logdir, kill_step, poll=2.0):
             if last >= kill_step:
                 proc.send_signal(signal.SIGKILL)
                 proc.wait()
-                return last
+                return last, True
     finally:
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+    # the process exited between polls: re-read metrics once — it may
+    # have crossed kill_step right before finishing (short runs)
+    last = 0
+    mp = metrics_path(logdir)
+    if mp:
+        with open(mp) as f:
+            for line in f:
+                try:
+                    last = max(last, json.loads(line)["step"])
+                except Exception:
+                    pass
+    if last >= kill_step:
+        print(
+            f"WARNING: run B finished (rc={proc.returncode}) before the "
+            f"SIGKILL landed (reached step {last} >= {kill_step}); the "
+            "resume path was NOT exercised — rerun with a smaller "
+            "--kill-step for a meaningful check", flush=True,
+        )
+        return last, False
     raise RuntimeError(
-        f"run finished (rc={proc.returncode}) before reaching "
-        f"kill step {kill_step}"
+        f"run finished (rc={proc.returncode}) at step {last}, before "
+        f"reaching kill step {kill_step} — lower --kill-step"
     )
 
 
@@ -129,7 +162,7 @@ def compare(rec_a, rec_b):
     for key in common:
         a, b = rec_a[key], rec_b[key]
         for k in sorted(set(a) | set(b)):
-            if k in SKIP_KEYS:
+            if k in SKIP_KEYS or k.rsplit("/", 1)[-1] in SKIP_KEYS:
                 continue
             va, vb = a.get(k), b.get(k)
             n_vals += 1
@@ -151,6 +184,10 @@ def load_ckpt_tree(logdir: str):
         if isinstance(node, dict):
             for k, v in node.items():
                 walk(f"{prefix}/{k}", v)
+        elif isinstance(node, (list, tuple)):
+            # orbax restores tuples (e.g. optax opt_state chains) as lists
+            for i, v in enumerate(node):
+                walk(f"{prefix}/{i}", v)
         else:
             flat[prefix] = np.asarray(node)
 
@@ -162,24 +199,57 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/tmp/resume_check")
     ap.add_argument("--epochs", type=int, default=60)
-    ap.add_argument("--kill-step", type=int, default=140)
+    ap.add_argument("--kill-step", type=int, default=61)
+    ap.add_argument("--reuse-a", action="store_true",
+                    help="skip run A when --base/A already holds a "
+                         "complete straight-through run")
+    ap.add_argument("--compare-only", action="store_true",
+                    help="skip BOTH runs and just compare existing A/B "
+                         "metrics + checkpoints (e.g. after an "
+                         "orchestrator crash mid-comparison); requires "
+                         "--killed-at to record where the kill landed")
+    ap.add_argument("--killed-at", type=int, default=None,
+                    help="(with --compare-only) the step run B was "
+                         "SIGKILLed at, from the original run's log")
     args = ap.parse_args()
 
     os.makedirs(args.base, exist_ok=True)
-    build_tree(args.base)
     dir_a = os.path.join(args.base, "A")
     dir_b = os.path.join(args.base, "B")
+    if args.compare_only:
+        assert metrics_path(dir_a) and metrics_path(dir_b), \
+            "--compare-only needs completed A and B runs under --base"
+        assert args.killed_at is not None, "--compare-only needs --killed-at"
+        # the train CLI logs "resumed from step N" when auto-resume fired;
+        # require that evidence so compare-only can't bless a B that was
+        # never actually interrupted
+        with open(os.path.join(args.base, "B.log")) as f:
+            resumed = any("resumed from step" in line for line in f)
+        finish(args, dir_a, dir_b, killed_at=args.killed_at,
+               was_killed=resumed)
+        return
+    build_tree(args.base)
+    if os.path.isdir(dir_b):
+        import shutil
+
+        # a stale B (e.g. an earlier attempt that completed without
+        # being killed) would auto-resume as already-finished and skip
+        # the resume path entirely
+        shutil.rmtree(dir_b)
 
     t0 = time.time()
-    print(f"run A: {args.epochs} epochs straight through", flush=True)
-    run_to_completion(train_cmd(args.base, dir_a, args.epochs),
-                      os.path.join(args.base, "A.log"))
-    print(f"run A done in {time.time() - t0:.0f}s", flush=True)
+    if args.reuse_a and metrics_path(dir_a):
+        print(f"run A: reusing existing {metrics_path(dir_a)}", flush=True)
+    else:
+        print(f"run A: {args.epochs} epochs straight through", flush=True)
+        run_to_completion(train_cmd(args.base, dir_a, args.epochs),
+                          os.path.join(args.base, "A.log"))
+        print(f"run A done in {time.time() - t0:.0f}s", flush=True)
 
     t1 = time.time()
     print(f"run B: SIGKILL at step >= {args.kill_step}, then resume",
           flush=True)
-    killed_at = run_and_kill(
+    killed_at, was_killed = run_and_kill(
         train_cmd(args.base, dir_b, args.epochs),
         os.path.join(args.base, "B.log"), dir_b, args.kill_step,
     )
@@ -187,7 +257,10 @@ def main():
     run_to_completion(train_cmd(args.base, dir_b, args.epochs),
                       os.path.join(args.base, "B.log"))
     print(f"run B done in {time.time() - t1:.0f}s", flush=True)
+    finish(args, dir_a, dir_b, killed_at, was_killed)
 
+
+def finish(args, dir_a, dir_b, killed_at, was_killed):
     rec_a, rec_b = read_records(dir_a), read_records(dir_b)
     common, missing, n_vals, mismatches = compare(rec_a, rec_b)
     import numpy as np
@@ -201,13 +274,15 @@ def main():
         "metric": "resume_determinism",
         "epochs": args.epochs,
         "killed_at_step": killed_at,
+        "resume_exercised": was_killed,
         "records_compared": len(common),
         "values_compared": n_vals,
         "records_missing_either_side": len(missing),
         "value_mismatches": len(mismatches),
         "checkpoint_leaves": len(ck_a),
         "checkpoint_leaf_mismatches": len(ck_diff),
-        "ok": not mismatches and not missing and not ck_diff,
+        "ok": (was_killed and not mismatches and not missing
+               and not ck_diff),
     }
     print(json.dumps(summary))
     for m in mismatches[:20]:

@@ -93,6 +93,64 @@ def tiny_nyu_config(**overrides) -> OccDepthConfig:
     return OccDepthConfig(**base)
 
 
+def make_tartanair_tree(base: str) -> None:
+    """Build the 4-train/4-val synthetic TartanAir toy tree under `base`.
+
+    Used by the resume-determinism check, convergence smokes, and the
+    verify workflow (mirrors tests/test_occluded_tartanair.py's fixture);
+    lives in the package so a clean checkout can run those checks.
+    Writes `{base}/ta` (images + poses) and `{base}/ta_pre` (voxel pkls).
+    """
+    import os
+    import pickle
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(42)
+    X, Y, Z = 16, 8, 16
+    voxel = 0.3
+    root = os.path.join(base, "ta")
+    pre = os.path.join(base, "ta_pre")
+    pose_line = "0.5 -0.2 0.1 0 0 0 1\n"
+    for seq in ("P000", "P005"):
+        seq_dir = os.path.join(root, "office", "Easy", seq)
+        os.makedirs(os.path.join(seq_dir, "image_left"), exist_ok=True)
+        os.makedirs(os.path.join(seq_dir, "image_right"), exist_ok=True)
+        with open(os.path.join(seq_dir, "pose_left.txt"), "w") as f:
+            f.write(pose_line * 3)
+        with open(os.path.join(seq_dir, "pose_right.txt"), "w") as f:
+            f.write("0.5 0.05 0.1 0 0 0 1\n" * 3)
+        vox_dir = os.path.join(
+            pre, "labels", "office", "Easy", seq, "voxels_left"
+        )
+        os.makedirs(vox_dir, exist_ok=True)
+        for frame in ("000000", "000001"):
+            for side in ("left", "right"):
+                img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(
+                    os.path.join(seq_dir, f"image_{side}",
+                                 f"{frame}_{side}.png")
+                )
+            T = np.eye(4)
+            T[:3, :3] = np.array(
+                [[0, -1, 0], [0, 0, -1], [1, 0, 0]], float
+            )
+            T[:3, 3] = [0.0, Y * voxel / 2, -0.3]
+            data = {
+                "target_1_1": rng.choice(
+                    [0, 1, 5, 255], size=(X, Y, Z)
+                ).astype(np.uint8),
+                "target_1_4": rng.choice(
+                    [0, 1, 5, 255], size=(X // 4, Y // 4, Z // 4)
+                ).astype(np.uint8),
+                "vox_origin": np.array([-2.4, -1.2, -2.4], np.float32),
+                "T_velo_2_cam": T.astype(np.float32),
+            }
+            with open(os.path.join(vox_dir, f"{frame}.pkl"), "wb") as f:
+                pickle.dump(data, f)
+
+
 def synthetic_state(cfg: OccDepthConfig, batch, tx):
     """TrainState with host-materialized parameters — no init compile.
 

@@ -197,7 +197,9 @@ class Trainer:
                 )
                 train_metrics.merge_device(completion, conf)
                 step += 1
-                if step % cfg.log_every_n_steps == 0:
+                # log_every_n_steps <= 0 means "log every step" (and
+                # guards the CLI-override path against ZeroDivisionError)
+                if step % max(1, cfg.log_every_n_steps) == 0:
                     logs = {k: float(v) for k, v in logs.items()}
                     logs["steps_per_sec"] = step / max(
                         1e-9, time.time() - t_start

@@ -28,6 +28,24 @@ import pytest  # noqa: E402
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
+# smoke tier: the fast core-correctness subset (`pytest -m smoke`).
+# Chosen for coverage-per-second: exact op kernels, loss/metric oracles,
+# geometry oracles, multi-device DP equivalence, and the composed
+# eval-table parity — no full-model multi-minute compiles.
+SMOKE_FILES = {
+    "test_ops.py",
+    "test_losses.py",
+    "test_geometry.py",
+    "test_parallel_scaling.py",
+    "test_eval_metric_parity.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SMOKE_FILES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def rng():
