@@ -150,6 +150,22 @@ class OccDepthConfig:
     # XLA conv elsewhere — see ops/conv2d_shift.py), or force one of
     # "xla" | "shift" | "pallas".
     decoder_conv_impl: str = "auto"
+    # Encoder depthwise-conv filter-gradient path: "auto" routes stride-1
+    # odd-kernel blocks through the fused one-pass Pallas VJP on TPU
+    # backends (XLA's default lowering for the depthwise filter gradient
+    # measures ~10x the forward — ops/dw_conv.py, docs/DESIGN.md round 4);
+    # "xla" keeps the default VJP everywhere, "pallas" forces the kernel.
+    dw_conv_grad: str = "xla"
+    # Full-grid layout-pin experiment (ops/layout_pin.py): "off" | "xminor"
+    # | "cminor".  TPU-only modes used by scripts/bench_layout_pin.py to
+    # test whether pinning the 3D decoder's stage-boundary layouts fixes
+    # the batched-eval layout pathology at the root (VERDICT r3 #1a).
+    layout_pin: str = "off"
+    # Bench-only experiment (bench_train --view-vmap): vmap the 2D backbone
+    # over views in training instead of sequential per-view calls.  Changes
+    # the batch_stats pytree (leading view axis) — not checkpoint-
+    # compatible; see models/occdepth.py.
+    view_vmap: bool = False
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     remat_backbone: bool = False  # jax.checkpoint the per-view 2D backbone

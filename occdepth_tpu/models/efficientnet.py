@@ -19,6 +19,7 @@ import math
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # (width_coefficient, depth_coefficient)
@@ -85,6 +86,43 @@ class TfBatchNorm(nn.Module):
         )
 
 
+class DWConvFast(nn.Module):
+    """Depthwise conv, param-identical to
+    nn.Conv(C, (k, k), feature_group_count=C, use_bias=False): one "kernel"
+    param of shape (k, k, 1, C), same initializer, same promote-to-dtype
+    semantics — checkpoints and the torch converter are unaffected.  The
+    forward is the same XLA conv; stride-1 odd-kernel blocks can route
+    through the fused Pallas filter-gradient VJP (ops/dw_conv.py), which
+    replaces XLA's ~10x-the-forward depthwise filter-gradient lowering.
+    """
+
+    kernel_size: int
+    stride: int = 1
+    dw_grad: str = "xla"  # "xla" | "auto" | "pallas"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from occdepth_tpu.ops.dw_conv import (
+            dw_conv2d_fastgrad, use_fast_dw_grad,
+        )
+
+        k, s, C = self.kernel_size, self.stride, x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, 1, C),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        if use_fast_dw_grad(self.dw_grad, k, s):
+            return dw_conv2d_fastgrad(x, kernel)
+        return jax.lax.conv_general_dilated(
+            x, kernel, (s, s), "SAME", feature_group_count=C,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class SqueezeExcite(nn.Module):
     reduced_chs: int
     dtype: Optional[Any] = None
@@ -109,6 +147,7 @@ class MBConv(nn.Module):
     stride: int
     kernel: int
     se_ratio: float = 0.25
+    dw_grad: str = "xla"
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -121,10 +160,9 @@ class MBConv(nn.Module):
                         param_dtype=jnp.float32, name="conv_pw")(x)
             x = TfBatchNorm(dtype=self.dtype, name="bn1")(x, train)
             x = nn.silu(x)
-        x = nn.Conv(
-            mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-            padding="SAME", feature_group_count=mid, use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name="conv_dw",
+        x = DWConvFast(
+            self.kernel, self.stride, dw_grad=self.dw_grad,
+            dtype=self.dtype, name="conv_dw",
         )(x)
         x = TfBatchNorm(dtype=self.dtype, name="bn2")(x, train)
         x = nn.silu(x)
@@ -146,16 +184,16 @@ class DepthwiseSeparable(nn.Module):
     out_chs: int
     kernel: int
     se_ratio: float = 0.25
+    dw_grad: str = "xla"
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         in_chs = x.shape[-1]
         shortcut = x
-        x = nn.Conv(
-            in_chs, (self.kernel, self.kernel), padding="SAME",
-            feature_group_count=in_chs, use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name="conv_dw",
+        x = DWConvFast(
+            self.kernel, 1, dw_grad=self.dw_grad, dtype=self.dtype,
+            name="conv_dw",
         )(x)
         x = TfBatchNorm(dtype=self.dtype, name="bn1")(x, train)
         x = nn.silu(x)
@@ -178,6 +216,7 @@ class EfficientNetEncoder(nn.Module):
     """
 
     variant: str = "tf_efficientnet_b3_ns"
+    dw_grad: str = "xla"
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -199,11 +238,13 @@ class EfficientNetEncoder(nn.Module):
                 name = f"blocks_{si}_{bi}"
                 if expand == 1:
                     h = DepthwiseSeparable(
-                        out_chs, kernel, dtype=self.dtype, name=name
+                        out_chs, kernel, dw_grad=self.dw_grad,
+                        dtype=self.dtype, name=name
                     )(h, train)
                 else:
                     h = MBConv(
-                        out_chs, expand, s, kernel, dtype=self.dtype, name=name
+                        out_chs, expand, s, kernel, dw_grad=self.dw_grad,
+                        dtype=self.dtype, name=name
                     )(h, train)
             stage_outs.append(h)
 

@@ -58,11 +58,13 @@ class UNet2D(nn.Module):
     return_up_feats: int = 1
     dtype: Optional[Any] = None
     conv_impl: str = "xla"  # UpSampleBN 3x3 conv path ("auto" on TPU)
+    dw_grad: str = "xla"  # encoder depthwise-conv VJP (ops/dw_conv.py)
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> Dict[str, jnp.ndarray]:
         x_in, b0, b1, b2, b4, head = EfficientNetEncoder(
-            self.backbone_2d_name, dtype=self.dtype, name="encoder"
+            self.backbone_2d_name, dw_grad=self.dw_grad, dtype=self.dtype,
+            name="encoder"
         )(img, train=train)
 
         features = variant_channels(self.backbone_2d_name)["head"]

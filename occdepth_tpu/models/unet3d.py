@@ -20,6 +20,7 @@ from occdepth_tpu.models.unet3d_blocks import (
     SegmentationHead,
     Upsample,
 )
+from occdepth_tpu.ops.layout_pin import pin_grid
 
 
 class UNet3DKitti(nn.Module):
@@ -35,12 +36,14 @@ class UNet3DKitti(nn.Module):
     occluded_cls: bool = False
     bn_momentum: float = 0.1
     use_pallas: bool = False
+    layout_pin: str = "off"  # full-grid layout experiment (ops/layout_pin)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x3d, train: bool = False) -> Dict[str, jnp.ndarray]:
         f = self.feature
         res: Dict[str, jnp.ndarray] = {}
+        x3d = pin_grid(x3d, self.layout_pin)
 
         x3d_l1 = x3d
         h = Process(f, (1, 2, 3), self.bn_momentum, dtype=self.dtype,
@@ -66,14 +69,18 @@ class UNet3DKitti(nn.Module):
 
         x3d_up_l2 = Upsample(f * 2, self.bn_momentum, dtype=self.dtype,
                              name="up_13_l2")(x3d_l3, train) + x3d_l2
-        x3d_up_l1 = Upsample(f, self.bn_momentum, dtype=self.dtype,
-                             name="up_12_l1")(x3d_up_l2, train) + x3d_l1
+        x3d_up_l1 = pin_grid(
+            Upsample(f, self.bn_momentum, dtype=self.dtype,
+                     name="up_12_l1")(x3d_up_l2, train) + x3d_l1,
+            self.layout_pin,
+        )
         if self.project_scale == 1:
             x3d_full = Convblock3d(f // 2, self.bn_momentum, dtype=self.dtype,
                                    name="up_l1_lfull")(x3d_up_l1, train)
         else:
             x3d_full = Upsample(f // 2, self.bn_momentum, dtype=self.dtype,
                                 name="up_l1_lfull")(x3d_up_l1, train)
+        x3d_full = pin_grid(x3d_full, self.layout_pin)
 
         res["x3d_l1"] = x3d_up_l1
         res["x3d_l2"] = x3d_up_l2
@@ -84,7 +91,7 @@ class UNet3DKitti(nn.Module):
                 f // 2, self.n_classes, (1, 2, 3), cascade_cls=True,
                 dtype=self.dtype, name="ssc_head",
             )(x3d_full, train)
-            res["ssc_logit"] = ssc
+            res["ssc_logit"] = pin_grid(ssc, self.layout_pin)
             res["occ_logit"] = occ
         else:
             res["ssc_logit"] = SegmentationHead(

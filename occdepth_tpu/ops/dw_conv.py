@@ -1,0 +1,217 @@
+"""Depthwise conv2d with a fast custom VJP (Pallas filter-gradient kernel).
+
+XLA's autodiff for `feature_group_count=C` convs is the single hottest
+pattern in the flagship train step's 2D-encoder backward (docs/DESIGN.md:
+the filter gradient lowers to a degenerate conv that runs ~10x the forward;
+reference backbone blocks occdepth/models/unet2d.py:238 via timm's
+InvertedResidual).  The math, however, is tiny:
+
+    dw[dr, dc, c] = sum_{b,h,w} x_pad[b, h+dr, w+dc, c] * g[b, h, w, c]
+
+i.e. k*k elementwise multiply-reduces over the feature map — one read of x
+and g if all taps are computed in one pass.  A pure-XLA formulation of this
+was measured and rejected in round 2 (the +-dc sublane shifts force
+relayout copies between ops); `dw_filter_grad_pallas` does the one-pass
+version inside a single kernel where the shifted windows are VMEM slices:
+
+  * grid over (batch, row-tiles of g); x row-slabs (with the kh-1 halo) are
+    double-buffered HBM->VMEM by explicit DMA (H is an outer dim, so slab
+    offsets need no sublane alignment);
+  * all kh*kw shifted products are computed from that one slab in fp32 and
+    accumulated into a (kh*kw, C) output block that is revisited (constant
+    index_map) across the sequential TPU grid.
+
+`dw_conv2d` wraps the forward (unchanged XLA conv — it is already at
+speed-of-light) with a custom VJP: dx is the spatially-flipped depthwise
+conv of g (also fast in XLA), dw is the Pallas kernel.  Restricted to
+stride 1 / dilation 1 / odd kernels — exactly the hot blocks; strided
+blocks (one per stage) keep XLA's default VJP.
+
+Numerics: the filter gradient is accumulated in fp32 (XLA's default VJP
+materializes it in the conv compute dtype, i.e. bf16 under the bf16
+policy) — a strict precision improvement, noted in PARITY.md.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def dw_filter_grad_reference(x: jnp.ndarray, g: jnp.ndarray,
+                             kh: int, kw: int) -> jnp.ndarray:
+    """Oracle: filter grad of a stride-1 SAME depthwise conv, fp32.
+
+    x (B, H, W, C), g (B, H, W, C) -> (kh, kw, 1, C) float32.
+    """
+    B, H, W, C = x.shape
+    pt, pl_ = (kh - 1) // 2, (kw - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pt, kh - 1 - pt), (pl_, kw - 1 - pl_), (0, 0)))
+    xf = xp.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    taps = []
+    for dr in range(kh):
+        for dc in range(kw):
+            xs = jax.lax.dynamic_slice(
+                xf, (0, dr, dc, 0), (B, H, W, C)
+            )
+            taps.append(jnp.sum(xs * gf, axis=(0, 1, 2)))
+    return jnp.stack(taps, 0).reshape(kh, kw, 1, C)
+
+
+def _dwgrad_kernel(x_hbm, g_ref, out_ref, xbuf, sems, *,
+                   tg, W, kh, kw, buf_rows, n_tiles, n_steps):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    step = bi * n_tiles + ti
+    slot = jax.lax.rem(step, 2)
+
+    def start(s, b2, t2):
+        pltpu.make_async_copy(
+            x_hbm.at[b2, pl.ds(t2 * tg, buf_rows), :, :],
+            xbuf.at[s], sems.at[s],
+        ).start()
+
+    @pl.when(step == 0)
+    def _():
+        start(0, bi, ti)
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        nxt = step + 1
+        start(jax.lax.rem(nxt, 2), nxt // n_tiles, jax.lax.rem(nxt, n_tiles))
+
+    pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(ti * tg, buf_rows), :, :], xbuf.at[slot],
+        sems.at[slot],
+    ).wait()
+
+    g = g_ref[0].astype(jnp.float32)  # (tg, W, C)
+    taps = []
+    for dr in range(kh):
+        for dc in range(kw):
+            xs = xbuf[slot, dr:dr + tg, dc:dc + W, :].astype(jnp.float32)
+            taps.append(jnp.sum(xs * g, axis=(0, 1)))  # (C,)
+    out_ref[:] += jnp.stack(taps, 0)
+
+
+def dw_filter_grad_pallas(
+    x: jnp.ndarray, g: jnp.ndarray, kh: int, kw: int,
+    target_slab_bytes: int = 3 << 20, interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused one-pass filter gradient (stride 1, SAME, dilation 1).
+
+    Same contract as `dw_filter_grad_reference`.
+    """
+    B, H, W, C = x.shape
+    assert g.shape == (B, H, W, C), (x.shape, g.shape)
+    pt, pl_ = (kh - 1) // 2, (kw - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pt, kh - 1 - pt), (pl_, kw - 1 - pl_), (0, 0)))
+    Wp = W + kw - 1
+
+    row_bytes = Wp * C * x.dtype.itemsize
+    tg = max(8, min(H, target_slab_bytes // max(1, row_bytes)))
+    n_tiles = -(-H // tg)
+    buf_rows = tg + kh - 1
+    rows_needed = n_tiles * tg + buf_rows
+    if xp.shape[1] < rows_needed:
+        xp = jnp.pad(xp, ((0, 0), (0, rows_needed - xp.shape[1]),
+                          (0, 0), (0, 0)))
+    gp = g
+    if n_tiles * tg != H:  # zero rows contribute nothing
+        gp = jnp.pad(g, ((0, 0), (0, n_tiles * tg - H), (0, 0), (0, 0)))
+
+    n_steps = B * n_tiles
+    out = pl.pallas_call(
+        functools.partial(
+            _dwgrad_kernel, tg=tg, W=W, kh=kh, kw=kw,
+            buf_rows=buf_rows, n_tiles=n_tiles, n_steps=n_steps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((kh * kw, C), jnp.float32),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, tg, W, C), lambda b2, t2: (b2, t2, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kh * kw, C), lambda b2, t2: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, buf_rows, Wp, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * C * kh * kw,
+            bytes_accessed=(xp.size * xp.dtype.itemsize
+                            + gp.size * gp.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, gp)
+    return out.reshape(kh, kw, 1, C)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP depthwise conv (stride 1, SAME, odd kernel)
+# ---------------------------------------------------------------------------
+
+def _dw_fwd_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        feature_group_count=x.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dw_conv2d_fastgrad(x: jnp.ndarray, w: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Stride-1 SAME depthwise conv; forward == lax conv, backward fused.
+
+    x (B, H, W, C), w (kh, kw, 1, C) in the compute dtype (caller casts,
+    matching nn.Conv's promote_dtype semantics).
+    """
+    del interpret
+    return _dw_fwd_conv(x, w)
+
+
+def _dw_fwd(x, w, interpret):
+    return _dw_fwd_conv(x, w), (x, w)
+
+
+def _dw_bwd(interpret, res, g):
+    x, w = res
+    kh, kw = w.shape[0], w.shape[1]
+    # dx: depthwise conv of g with the spatially flipped filter (exact for
+    # odd kernels under SAME: the transposed padding equals SAME padding)
+    dx = jax.lax.conv_general_dilated(
+        g, w[::-1, ::-1], (1, 1), "SAME",
+        feature_group_count=x.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(x.dtype)
+    dw = dw_filter_grad_pallas(x, g, kh, kw, interpret=interpret)
+    return dx, dw.astype(w.dtype)
+
+
+dw_conv2d_fastgrad.defvjp(_dw_fwd, _dw_bwd)
+
+
+def use_fast_dw_grad(mode: str, kernel: int, stride: int) -> bool:
+    """Resolve the dw-conv VJP path.  `mode` is cfg.dw_conv_grad:
+    'pallas' forces the fused kernel for eligible convs, 'xla' disables it,
+    'auto' enables it on TPU backends (measured faster on v5e — see
+    docs/DESIGN.md round 4)."""
+    if stride != 1 or kernel % 2 != 1:
+        return False
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False

@@ -111,6 +111,21 @@ def main():
                v3d, x3d, K=K)
     print(f"3D UNet fwd+bwd:        {t:7.1f} ms", flush=True)
 
+    # SSC head alone at the FULL 256x256x32 grid (the largest full-grid
+    # stage: conv0 -> 3-dilation ASPP -> cascade occ/class convs) — the
+    # profile attributes ~17 GB of the step's HBM traffic here
+    from occdepth_tpu.models.unet3d_blocks import SegmentationHead
+
+    head = SegmentationHead(
+        cfg.feature // 2, cfg.n_classes, (1, 2, 3), cascade_cls=True,
+        dtype=dtype,
+    )
+    xh = jax.random.normal(rng, (1, 256, 256, 32, cfg.feature // 2), dtype)
+    vh = jax.jit(head.init, static_argnames=("train",))(rng, xh, train=False)
+    t = timeit(g(lambda v, x: head.apply(v, x, train=False)[0]),
+               vh, xh, K=K)
+    print(f"SSC head fwd+bwd:       {t:7.1f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -33,6 +33,15 @@ def main():
     ap.add_argument("--barriers", action="store_true",
                     help="optimization_barrier at stage boundaries "
                          "(cfg.stage_barriers)")
+    ap.add_argument("--dw-grad", default="xla",
+                    help="encoder depthwise-conv VJP: xla|auto|pallas "
+                         "(cfg.dw_conv_grad, ops/dw_conv.py)")
+    ap.add_argument("--layout-pin", default="off",
+                    help="full-grid layout pin: off|xminor|cminor "
+                         "(cfg.layout_pin, ops/layout_pin.py)")
+    ap.add_argument("--view-vmap", action="store_true",
+                    help="vmap the 2D backbone over views "
+                         "(cfg.view_vmap)")
     ap.add_argument("--json", action="store_true",
                     help="emit one JSON line (artifact format)")
     args = ap.parse_args()
@@ -41,6 +50,8 @@ def main():
     cfg = OccDepthConfig(
         dataset="kitti", use_stereo_depth_gt=True, compute_dtype=args.dtype,
         remat_backbone=args.remat, stage_barriers=args.barriers,
+        dw_conv_grad=args.dw_grad, layout_pin=args.layout_pin,
+        view_vmap=args.view_vmap,
     )
     batch = make_synthetic_batch(cfg, batch_size=args.batch, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=1000)

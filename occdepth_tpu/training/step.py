@@ -55,12 +55,15 @@ def init_state(
     skips the whole-init XLA compile — the right trade for one-shot gates
     on hosts where a full-model compile takes minutes (dryrun_multichip)."""
     model = create_model(cfg)
+    # view_vmap batches the BN stats over views in train mode, so the
+    # variables must be created by a train-mode trace (bench-only knob)
+    init_train = bool(getattr(cfg, "view_vmap", False))
     if jit_init:
         variables = jax.jit(model.init, static_argnames=("train",))(
-            rng, batch, train=False
+            rng, batch, train=init_train
         )
     else:
-        variables = model.init(rng, batch, train=False)
+        variables = model.init(rng, batch, train=init_train)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

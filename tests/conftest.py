@@ -38,6 +38,7 @@ SMOKE_FILES = {
     "test_geometry.py",
     "test_parallel_scaling.py",
     "test_eval_metric_parity.py",
+    "test_dw_conv.py",
 }
 
 

@@ -1,0 +1,118 @@
+"""Depthwise-conv fused filter-gradient VJP (ops/dw_conv.py).
+
+The Pallas kernel runs in interpret mode on CPU; exactness is asserted
+against (a) the jnp reference formulation, (b) torch's own depthwise conv
+gradients, and (c) XLA's default VJP of the identical forward.  The model
+integration test pins that DWConvFast is param-pytree-identical to the
+nn.Conv it replaces (checkpoint/converter compatibility) and that routing
+the encoder through the fused VJP changes neither forward nor gradients.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from occdepth_tpu.ops.dw_conv import (
+    _dw_fwd_conv,
+    dw_conv2d_fastgrad,
+    dw_filter_grad_pallas,
+    dw_filter_grad_reference,
+    use_fast_dw_grad,
+)
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((1, 24, 20, 16), 3),
+    ((2, 17, 13, 8), 5),   # ragged rows -> zero-padded g tail
+    ((1, 9, 40, 4), 3),    # H smaller than one slab
+])
+def test_filter_grad_kernel_vs_reference(shape, k, rng):
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    g = jnp.asarray(rng.randn(*shape), jnp.float32)
+    ref = dw_filter_grad_reference(x, g, k, k)
+    out = dw_filter_grad_pallas(x, g, k, k, target_slab_bytes=4096,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_filter_grad_vs_torch(k, rng):
+    B, H, W, C = 2, 12, 15, 6
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    g = rng.randn(B, H, W, C).astype(np.float32)
+    w = rng.randn(k, k, 1, C).astype(np.float32)
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    wt = torch.from_numpy(w).permute(3, 2, 0, 1).requires_grad_(True)
+    yt = torch.nn.functional.conv2d(xt, wt, padding=k // 2, groups=C)
+    yt.backward(torch.from_numpy(g).permute(0, 3, 1, 2))
+
+    out = dw_filter_grad_pallas(jnp.asarray(x), jnp.asarray(g), k, k,
+                                interpret=True)
+    ref_dw = wt.grad.permute(2, 3, 1, 0).numpy()  # OIHW -> HWIO
+    np.testing.assert_allclose(np.asarray(out), ref_dw, rtol=1e-4, atol=1e-4)
+
+    # and the full custom VJP's dx against torch
+    def f(x2, w2):
+        return dw_conv2d_fastgrad(x2, w2, True)
+    dx, dw = jax.vjp(f, jnp.asarray(x), jnp.asarray(w))[1](jnp.asarray(g))
+    np.testing.assert_allclose(
+        np.asarray(dx), xt.grad.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(dw), ref_dw, rtol=1e-4, atol=1e-4)
+
+
+def test_custom_vjp_matches_xla_autodiff(rng):
+    x = jnp.asarray(rng.randn(1, 14, 10, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 1, 8), jnp.float32)
+    g = jnp.asarray(rng.randn(1, 14, 10, 8), jnp.float32)
+    y_ref, vjp_ref = jax.vjp(_dw_fwd_conv, x, w)
+    y_fast, vjp_fast = jax.vjp(lambda a, b: dw_conv2d_fastgrad(a, b, True),
+                               x, w)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_fast))
+    for r, f in zip(vjp_ref(g), vjp_fast(g)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(f),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_use_fast_dw_grad_gating():
+    assert not use_fast_dw_grad("pallas", 3, 2)   # strided: never
+    assert not use_fast_dw_grad("pallas", 4, 1)   # even kernel: never
+    assert use_fast_dw_grad("pallas", 5, 1)
+    assert not use_fast_dw_grad("xla", 3, 1)
+    # "auto" resolves by backend; on the CPU test backend it stays off
+    assert not use_fast_dw_grad("auto", 3, 1)
+
+
+def test_backbone_params_and_grads_unchanged(rng):
+    """DWConvFast is a drop-in for nn.Conv: same pytree, same numerics."""
+    from occdepth_tpu.models.efficientnet import EfficientNetEncoder
+
+    img = jnp.asarray(rng.randn(1, 32, 48, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    enc_x = EfficientNetEncoder("tf_efficientnet_b0_ns", dw_grad="xla")
+    enc_p = EfficientNetEncoder("tf_efficientnet_b0_ns", dw_grad="pallas")
+    v = enc_x.init(key, img, train=False)
+    v2 = enc_p.init(key, img, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(enc, v3):
+        out = enc.apply(v3, img, train=False)
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out)
+
+    l_x, g_x = jax.value_and_grad(lambda v3: loss(enc_x, v3))(v)
+    with pltpu.force_tpu_interpret_mode():
+        l_p, g_p = jax.value_and_grad(lambda v3: loss(enc_p, v3))(v)
+    np.testing.assert_array_equal(np.asarray(l_x), np.asarray(l_p))
+    for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                    jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
