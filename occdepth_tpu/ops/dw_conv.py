@@ -14,12 +14,19 @@ was measured and rejected in round 2 (the +-dc sublane shifts force
 relayout copies between ops); `dw_filter_grad_pallas` does the one-pass
 version inside a single kernel where the shifted windows are VMEM slices:
 
-  * grid over (batch, row-tiles of g); x row-slabs (with the kh-1 halo) are
-    double-buffered HBM->VMEM by explicit DMA (H is an outer dim, so slab
-    offsets need no sublane alignment);
-  * all kh*kw shifted products are computed from that one slab in fp32 and
-    accumulated into a (kh*kw, C) output block that is revisited (constant
-    index_map) across the sequential TPU grid.
+  * grid over (batch, row-tiles of g); x row-slabs WITH their kh-1 halo
+    rows are materialized once by XLA as a (B, n_tiles, tg+kh-1, Wx, C)
+    array (~3% duplicated rows) and streamed by the BlockSpec pipeline —
+    Mosaic's manual-DMA memref slices require the sublane dim 8-aligned
+    and the lane dim 128-aligned (C=40 slabs are rejected), while pipeline
+    blocks that span the full minor dims carry no such restriction;
+  * the dr (row) shifts are slices along the untiled H axis of the slab;
+    the dc (column) shifts ride `pltpu.roll` of the zero-padded fp32 g
+    value (32-bit lane/sublane rotate, VMEM-local) instead of unaligned
+    width slices, which Mosaic forbids on memrefs;
+  * all kh*kw shifted products are accumulated in fp32 into a (kh*kw, C)
+    output block that is revisited (constant index_map) across the
+    sequential TPU grid.
 
 `dw_conv2d` wraps the forward (unchanged XLA conv — it is already at
 speed-of-light) with a custom VJP: dx is the spatially-flipped depthwise
@@ -62,46 +69,28 @@ def dw_filter_grad_reference(x: jnp.ndarray, g: jnp.ndarray,
     return jnp.stack(taps, 0).reshape(kh, kw, 1, C)
 
 
-def _dwgrad_kernel(x_hbm, g_ref, out_ref, xbuf, sems, *,
-                   tg, W, kh, kw, buf_rows, n_tiles, n_steps):
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    step = bi * n_tiles + ti
-    slot = jax.lax.rem(step, 2)
-
-    def start(s, b2, t2):
-        pltpu.make_async_copy(
-            x_hbm.at[b2, pl.ds(t2 * tg, buf_rows), :, :],
-            xbuf.at[s], sems.at[s],
-        ).start()
-
-    @pl.when(step == 0)
+def _dwgrad_kernel(x_ref, g_ref, out_ref, *, tg, kh, kw):
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
-        start(0, bi, ti)
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(step + 1 < n_steps)
-    def _():
-        nxt = step + 1
-        start(jax.lax.rem(nxt, 2), nxt // n_tiles, jax.lax.rem(nxt, n_tiles))
-
-    pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(ti * tg, buf_rows), :, :], xbuf.at[slot],
-        sems.at[slot],
-    ).wait()
-
-    g = g_ref[0].astype(jnp.float32)  # (tg, W, C)
-    taps = []
-    for dr in range(kh):
-        for dc in range(kw):
-            xs = xbuf[slot, dr:dr + tg, dc:dc + W, :].astype(jnp.float32)
-            taps.append(jnp.sum(xs * g, axis=(0, 1)))  # (C,)
+    # fp32 before the roll: tpu.rotate handles 32-bit data only
+    g = g_ref[0, 0].astype(jnp.float32)  # (tg, Wx, C), zero beyond col W
+    taps = [None] * (kh * kw)
+    for dc in range(kw):
+        # roll-right by dc: gd[w] = g[w-dc]; the wrapped-in columns are
+        # the zero pad (Wx >= W + kw - 1), so the circular shift equals
+        # the zero-padded shift
+        gd = pltpu.roll(g, dc, axis=1) if dc else g
+        for dr in range(kh):
+            xs = x_ref[0, 0, dr:dr + tg, :, :].astype(jnp.float32)
+            taps[dr * kw + dc] = jnp.sum(xs * gd, axis=(0, 1))  # (C,)
     out_ref[:] += jnp.stack(taps, 0)
 
 
 def dw_filter_grad_pallas(
     x: jnp.ndarray, g: jnp.ndarray, kh: int, kw: int,
-    target_slab_bytes: int = 3 << 20, interpret: bool = False,
+    target_slab_bytes: int = 1 << 20, interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused one-pass filter gradient (stride 1, SAME, dilation 1).
 
@@ -110,48 +99,53 @@ def dw_filter_grad_pallas(
     B, H, W, C = x.shape
     assert g.shape == (B, H, W, C), (x.shape, g.shape)
     pt, pl_ = (kh - 1) // 2, (kw - 1) // 2
-    xp = jnp.pad(x, ((0, 0), (pt, kh - 1 - pt), (pl_, kw - 1 - pl_), (0, 0)))
-    Wp = W + kw - 1
+    # sublane (width) axis of every DMA'd block must be 8-aligned; pad the
+    # SAME-padded width up to it (the extra zero columns multiply zero-padded
+    # g columns, so they contribute nothing)
+    Wx = -(-(W + kw - 1) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (pt, kh - 1 - pt),
+                     (pl_, Wx - W - pl_), (0, 0)))
 
-    row_bytes = Wp * C * x.dtype.itemsize
+    row_bytes = Wx * C * x.dtype.itemsize
     tg = max(8, min(H, target_slab_bytes // max(1, row_bytes)))
     n_tiles = -(-H // tg)
     buf_rows = tg + kh - 1
-    rows_needed = n_tiles * tg + buf_rows
+    rows_needed = (n_tiles - 1) * tg + buf_rows
     if xp.shape[1] < rows_needed:
         xp = jnp.pad(xp, ((0, 0), (0, rows_needed - xp.shape[1]),
                           (0, 0), (0, 0)))
-    gp = g
-    if n_tiles * tg != H:  # zero rows contribute nothing
-        gp = jnp.pad(g, ((0, 0), (0, n_tiles * tg - H), (0, 0), (0, 0)))
+    # overlapping row slabs (halo included), one XLA copy (~kh/tg extra)
+    slabs = jnp.stack(
+        [jax.lax.slice_in_dim(xp, t * tg, t * tg + buf_rows, axis=1)
+         for t in range(n_tiles)], 1,
+    )  # (B, n_tiles, buf_rows, Wx, C)
+    gp = jnp.pad(g, ((0, 0), (0, n_tiles * tg - H), (0, Wx - W), (0, 0)))
+    gp = gp.reshape(B, n_tiles, tg, Wx, C)
 
-    n_steps = B * n_tiles
     out = pl.pallas_call(
-        functools.partial(
-            _dwgrad_kernel, tg=tg, W=W, kh=kh, kw=kw,
-            buf_rows=buf_rows, n_tiles=n_tiles, n_steps=n_steps,
-        ),
+        functools.partial(_dwgrad_kernel, tg=tg, kh=kh, kw=kw),
         out_shape=jax.ShapeDtypeStruct((kh * kw, C), jnp.float32),
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, tg, W, C), lambda b2, t2: (b2, t2, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, buf_rows, Wx, C),
+                         lambda b2, t2: (b2, t2, 0, 0, 0)),
+            pl.BlockSpec((1, 1, tg, Wx, C),
+                         lambda b2, t2: (b2, t2, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((kh * kw, C), lambda b2, t2: (0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, buf_rows, Wp, C), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=pl.BlockSpec((kh * kw, C), lambda b2, t2: (0, 0)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * kh * kw,
-            bytes_accessed=(xp.size * xp.dtype.itemsize
+            bytes_accessed=(slabs.size * slabs.dtype.itemsize
                             + gp.size * gp.dtype.itemsize),
             transcendentals=0,
         ),
+        # the kh*kw fp32 tap products can be scheduled concurrently; give
+        # the kernel headroom past the default 16M scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20,
+        ),
         interpret=interpret,
-    )(xp, gp)
+    )(slabs, gp)
     return out.reshape(kh, kw, 1, C)
 
 
@@ -202,16 +196,14 @@ dw_conv2d_fastgrad.defvjp(_dw_fwd, _dw_bwd)
 
 def use_fast_dw_grad(mode: str, kernel: int, stride: int) -> bool:
     """Resolve the dw-conv VJP path.  `mode` is cfg.dw_conv_grad:
-    'pallas' forces the fused kernel for eligible convs, 'xla' disables it,
-    'auto' enables it on TPU backends (measured faster on v5e — see
-    docs/DESIGN.md round 4)."""
+    'pallas' forces the fused kernel for eligible convs, 'xla' disables
+    it, 'auto' currently resolves to 'xla' everywhere: isolated the
+    kernel halves the dw-grad cost (3.63 -> 1.80 ms/view on v5e), but
+    end-to-end the flagship train step measured 221.3 vs 197.1 ms — the
+    26 pallas_call boundaries cost more scheduling/fusion freedom than
+    the kernel saves (docs/DESIGN.md round 4)."""
     if stride != 1 or kernel % 2 != 1:
         return False
     if mode == "pallas":
         return True
-    if mode == "xla":
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except RuntimeError:
-        return False
+    return False
