@@ -150,11 +150,13 @@ class OccDepthConfig:
     # XLA conv elsewhere — see ops/conv2d_shift.py), or force one of
     # "xla" | "shift" | "pallas".
     decoder_conv_impl: str = "auto"
-    # Encoder depthwise-conv filter-gradient path: "auto" routes stride-1
-    # odd-kernel blocks through the fused one-pass Pallas VJP on TPU
-    # backends (XLA's default lowering for the depthwise filter gradient
-    # measures ~10x the forward — ops/dw_conv.py, docs/DESIGN.md round 4);
-    # "xla" keeps the default VJP everywhere, "pallas" forces the kernel.
+    # Encoder depthwise-conv filter-gradient path: "pallas" forces the
+    # fused one-pass Pallas VJP for stride-1 odd-kernel blocks (halves the
+    # isolated dw-grad cost but measured SLOWER end-to-end: 221 vs 197
+    # ms/step — the pallas_call boundaries cost more fusion freedom than
+    # the kernel saves; ops/dw_conv.py, docs/DESIGN.md round 4).  "xla"
+    # keeps the default VJP; "auto" currently resolves to "xla" everywhere
+    # per that measurement.
     dw_conv_grad: str = "xla"
     # Full-grid layout-pin experiment (ops/layout_pin.py): "off" | "xminor"
     # | "cminor".  TPU-only modes used by scripts/bench_layout_pin.py to
@@ -164,11 +166,18 @@ class OccDepthConfig:
     # Bench-only experiment (bench_train --view-vmap): vmap the 2D backbone
     # over views in training instead of sequential per-view calls.  Changes
     # the batch_stats pytree (leading view axis) — not checkpoint-
-    # compatible; see models/occdepth.py.
+    # compatible.  Selects models/experimental.py::OccDepthViewVmap in
+    # training/step.create_model; rejected (272 vs 197 ms/step, round 4).
     view_vmap: bool = False
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     remat_backbone: bool = False  # jax.checkpoint the per-view 2D backbone
+    # jax.checkpoint the SSC/occluded heads in training: the head chain
+    # stores ~10 full-scene-grid activations for its backward (~67 MB
+    # each at the flagship KITTI grid); remat recomputes them instead —
+    # a traffic-for-FLOPs trade on a ~93% HBM-bound step (measured in
+    # docs/DESIGN.md round 5).  Exact same math and parameter pytree.
+    remat_heads: bool = False
     # Perf-attribution knob (bench_knockout only): scales whose SFA lift
     # reads a stop_gradient'd copy of the 2D feature map — isolates the
     # in-context cost of the gather backwards (table scatter-adds + the

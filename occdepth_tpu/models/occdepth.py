@@ -70,68 +70,20 @@ class OccDepthModel(nn.Module):
 
     cfg: OccDepthConfig
 
-    @nn.compact
-    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+    def backbone_features(
+        self, unet2d_cls, unet2d_kwargs, img, dtype, train: bool
+    ) -> Dict[str, jnp.ndarray]:
+        """Run the 2D backbone over the (B, V, H, W, 3) views.
+
+        Overridable hook: models/experimental.py swaps in alternative
+        view-batching strategies for bench measurements without touching
+        this shipping Module.
+        """
         cfg = self.cfg
-        dtype = (
-            jnp.bfloat16 if (cfg.compute_dtype == "bfloat16") else jnp.float32
-        )
-        from occdepth_tpu.ops.pallas_kernels import pallas_enabled
-
-        use_pallas = pallas_enabled(cfg)
-        img = batch["img"]
         B, V = img.shape[0], img.shape[1]
-
-        # ---- 2D backbone over views (OccDepth.process_rgbs, :208-231) ----
-        unet2d_cls = UNet2D
-        if cfg.remat_backbone:
-            # rematerialize backbone activations in backward (trades FLOPs
-            # for HBM; for the b7/feature-64 high-capacity configs)
-            unet2d_cls = nn.remat(UNet2D, static_argnums=(2,))
-        unet2d_kwargs = dict(
-            backbone_2d_name=cfg.backbone_2d_name,
-            out_feature=cfg.feature_2d_oc,
-            return_up_feats=cfg.return_up_feats,
-            dtype=dtype,
-            conv_impl=getattr(cfg, "decoder_conv_impl", "auto"),
-            dw_grad=getattr(cfg, "dw_conv_grad", "xla"),
-            name="net_rgb",
-        )
-        use_view_vmap = (
-            train and V > 1 and getattr(cfg, "view_vmap", False)
-        )
-        if not use_view_vmap:
-            unet2d = unet2d_cls(**unet2d_kwargs)
+        unet2d = unet2d_cls(**unet2d_kwargs)
         x_rgb: Dict[str, jnp.ndarray] = {}
-        if use_view_vmap:
-            # EXPERIMENT (bench_train --view-vmap; VERDICT r3 next-#5):
-            # vmap the backbone over the view axis — one batched graph for
-            # XLA to schedule instead of V sequential per-view calls, while
-            # BN batch statistics stay per-view by construction
-            # (variable_axes maps batch_stats over views).  Caveats that
-            # keep this a measurement knob, not a shipping path: the
-            # batch_stats pytree gains a leading view axis (not checkpoint-
-            # compatible, init must run train=True), running-stat updates
-            # are per-view-parallel rather than the reference's sequential
-            # folding, and with share_2d_backbone_gradient the no-grad
-            # views' backward can no longer be DCE'd out of the batched
-            # graph (XLA cannot split a batched conv) — the cotangents are
-            # merely zeroed below.
-            vm_cls = nn.vmap(
-                unet2d_cls,
-                in_axes=(1, None), out_axes=1,
-                variable_axes={"params": None, "batch_stats": 0},
-                split_rngs={"params": False},
-            )
-            feats = vm_cls(**unet2d_kwargs)(img.astype(dtype), train)
-            for k, v in feats.items():  # (B, V, h, w, C)
-                if cfg.share_2d_backbone_gradient:
-                    v = jnp.concatenate(
-                        [v[:, :1], jax.lax.stop_gradient(v[:, 1:])], axis=1
-                    )
-                x_rgb[k] = v
-        elif train and V > 1:
+        if train and V > 1:
             # Per-view backbone calls in training — the reference's exact
             # structure (process_rgbs runs net_rgb per view,
             # OccDepth.py:208-231): BatchNorm batch statistics are
@@ -161,6 +113,39 @@ class OccDepthModel(nn.Module):
                         [v[:, :1], jax.lax.stop_gradient(v[:, 1:])], axis=1
                     )
                 x_rgb[k] = v
+        return x_rgb
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        dtype = (
+            jnp.bfloat16 if (cfg.compute_dtype == "bfloat16") else jnp.float32
+        )
+        from occdepth_tpu.ops.pallas_kernels import pallas_enabled
+
+        use_pallas = pallas_enabled(cfg)
+        img = batch["img"]
+        B, V = img.shape[0], img.shape[1]
+
+        # ---- 2D backbone over views (OccDepth.process_rgbs, :208-231) ----
+        unet2d_cls = UNet2D
+        if cfg.remat_backbone:
+            # rematerialize backbone activations in backward (trades FLOPs
+            # for HBM; for the b7/feature-64 high-capacity configs)
+            unet2d_cls = nn.remat(UNet2D, static_argnums=(2,))
+        unet2d_kwargs = dict(
+            backbone_2d_name=cfg.backbone_2d_name,
+            out_feature=cfg.feature_2d_oc,
+            return_up_feats=cfg.return_up_feats,
+            dtype=dtype,
+            conv_impl=getattr(cfg, "decoder_conv_impl", "auto"),
+            dw_grad=getattr(cfg, "dw_conv_grad", "xla"),
+            name="net_rgb",
+        )
+        x_rgb = self.backbone_features(
+            unet2d_cls, unet2d_kwargs, img, dtype, train
+        )
 
         if cfg.stage_barriers:
             # pin the backbone/lift boundary: the scheduler may not fuse or
@@ -254,6 +239,7 @@ class OccDepthModel(nn.Module):
                 n_relations=cfg.n_relations,
                 cascade_cls=cfg.cascade_cls,
                 use_pallas=use_pallas,
+                remat_heads=getattr(cfg, "remat_heads", False),
                 dtype=dtype,
                 name="net_3d_decoder",
             )
@@ -269,6 +255,7 @@ class OccDepthModel(nn.Module):
                 occluded_cls=cfg.occluded_cls,
                 use_pallas=use_pallas,
                 layout_pin=getattr(cfg, "layout_pin", "off"),
+                remat_heads=getattr(cfg, "remat_heads", False),
                 dtype=dtype,
                 name="net_3d_decoder",
             )

@@ -23,6 +23,17 @@ from occdepth_tpu.models.unet3d_blocks import (
 from occdepth_tpu.ops.layout_pin import pin_grid
 
 
+def _head_cls(remat: bool):
+    """SegmentationHead, optionally rematerialized: the head chain holds
+    ~10 full-scene-grid activations for its backward (conv inputs + ASPP
+    intermediates at (256,256,32,16) = ~67 MB each); jax.checkpoint
+    recomputes them from the head input instead, trading cheap recompute
+    (the step is ~93% HBM-bound, docs/DESIGN.md) for the store+load
+    traffic of those tensors.  Parameter pytree is unchanged."""
+    return nn.remat(SegmentationHead, static_argnums=(2,)) if remat \
+        else SegmentationHead
+
+
 class UNet3DKitti(nn.Module):
     """KITTI 3D decoder (unet3d_kitti.py)."""
 
@@ -37,6 +48,7 @@ class UNet3DKitti(nn.Module):
     bn_momentum: float = 0.1
     use_pallas: bool = False
     layout_pin: str = "off"  # full-grid layout experiment (ops/layout_pin)
+    remat_heads: bool = False  # recompute head chain in backward
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -86,21 +98,22 @@ class UNet3DKitti(nn.Module):
         res["x3d_l2"] = x3d_up_l2
         res["x3d_l3"] = x3d_l3
 
+        head_cls = _head_cls(self.remat_heads and train)
         if self.cascade_cls:
-            ssc, occ = SegmentationHead(
+            ssc, occ = head_cls(
                 f // 2, self.n_classes, (1, 2, 3), cascade_cls=True,
                 dtype=self.dtype, name="ssc_head",
             )(x3d_full, train)
             res["ssc_logit"] = pin_grid(ssc, self.layout_pin)
             res["occ_logit"] = occ
         else:
-            res["ssc_logit"] = SegmentationHead(
+            res["ssc_logit"] = head_cls(
                 f // 2, self.n_classes, (1, 2, 3), dtype=self.dtype,
                 name="ssc_head",
             )(x3d_full, train)
 
         if self.occluded_cls:
-            res["occluded_logit"] = SegmentationHead(
+            res["occluded_logit"] = head_cls(
                 f // 2, self.n_classes, (1, 2, 3), occluded_only=True,
                 dtype=self.dtype, name="occluded_head",
             )(x3d_full, train)
@@ -118,6 +131,7 @@ class UNet3DNYU(nn.Module):
     cascade_cls: bool = True
     bn_momentum: float = 0.1
     use_pallas: bool = False
+    remat_heads: bool = False  # recompute head chain in backward
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -154,15 +168,16 @@ class UNet3DNYU(nn.Module):
         res["x3d_l2"] = x3d_up_1_8
         res["x3d_l3"] = x3d_1_16
 
+        head_cls = _head_cls(self.remat_heads and train)
         if self.cascade_cls:
-            ssc, occ = SegmentationHead(
+            ssc, occ = head_cls(
                 f, self.n_classes, (1, 2, 3), cascade_cls=True,
                 dtype=self.dtype, name="ssc_head",
             )(x3d_up_1_4, train)
             res["ssc_logit"] = ssc
             res["occ_logit"] = occ
         else:
-            res["ssc_logit"] = SegmentationHead(
+            res["ssc_logit"] = head_cls(
                 f, self.n_classes, (1, 2, 3), dtype=self.dtype, name="ssc_head",
             )(x3d_up_1_4, train)
         return res

@@ -37,6 +37,14 @@ blocks (one per stage) keep XLA's default VJP.
 Numerics: the filter gradient is accumulated in fp32 (XLA's default VJP
 materializes it in the conv compute dtype, i.e. bf16 under the bf16
 policy) — a strict precision improvement, noted in PARITY.md.
+
+Exactness coverage: tests/test_dw_conv.py pins the kernel in Pallas
+interpret mode on CPU; the COMPILED Mosaic semantics this file depends on
+(pltpu.roll direction on the lane axis, the revisited fp32 accumulator
+block across the sequential grid) are checked against the fp32 oracle on
+real hardware by `scripts/bench_dwconv.py --check` (run on v5e in the
+round-5 session; result recorded in docs/DESIGN.md) — rerun that check
+before flipping dw_conv_grad=pallas on a new jaxlib/Mosaic version.
 """
 from __future__ import annotations
 
@@ -202,8 +210,10 @@ def use_fast_dw_grad(mode: str, kernel: int, stride: int) -> bool:
     end-to-end the flagship train step measured 221.3 vs 197.1 ms — the
     26 pallas_call boundaries cost more scheduling/fusion freedom than
     the kernel saves (docs/DESIGN.md round 4)."""
+    if mode not in ("pallas", "xla", "auto"):
+        raise ValueError(
+            f"dw_conv_grad={mode!r}: expected 'pallas', 'xla' or 'auto'"
+        )
     if stride != 1 or kernel % 2 != 1:
         return False
-    if mode == "pallas":
-        return True
-    return False
+    return mode == "pallas"

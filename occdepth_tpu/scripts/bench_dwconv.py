@@ -61,11 +61,44 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--repeats", type=int, default=8)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="compiled-vs-oracle exactness on this backend "
+                         "(pins the Mosaic lowering the CPU interpret-mode "
+                         "tests cannot reach); skips all timing")
     args = ap.parse_args()
     enable()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    from occdepth_tpu.ops.dw_conv import dw_filter_grad_pallas
+    from occdepth_tpu.ops.dw_conv import (
+        dw_filter_grad_pallas,
+        dw_filter_grad_reference,
+    )
+
+    if args.check:
+        # compiled Mosaic exactness vs the fp32 oracle, every stride-1
+        # encoder shape (interpret-mode coverage lives in test_dw_conv.py)
+        worst = 0.0
+        for name, H, W, C, k, s in B3_DW_SHAPES:
+            if s != 1:
+                continue
+            kx, kg = jax.random.split(jax.random.PRNGKey(1))
+            x = jax.random.normal(kx, (1, H, W, C), dtype)
+            g = jax.random.normal(kg, (1, H, W, C), dtype)
+            ref = dw_filter_grad_reference(x, g, k, k)
+            out = jax.jit(
+                lambda x, g, k=k: dw_filter_grad_pallas(x, g, k, k)
+            )(x, g)
+            err = float(jnp.max(jnp.abs(out - ref)))
+            rel = err / max(1e-30, float(jnp.max(jnp.abs(ref))))
+            worst = max(worst, rel)
+            print(f"{name:14s} max|err| {err:9.3e}  rel {rel:9.3e}")
+        print(json.dumps({
+            "backend": jax.default_backend(),
+            "dtype": args.dtype,
+            "worst_rel_err": worst,
+            "ok": worst < 1e-2 if dtype == jnp.bfloat16 else worst < 1e-5,
+        }))
+        return
 
     results = {}
     tot = {"fwd": 0.0, "dx": 0.0, "dw": 0.0, "dw_pallas": 0.0}

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--view-vmap", action="store_true",
                     help="vmap the 2D backbone over views "
                          "(cfg.view_vmap)")
+    ap.add_argument("--remat-heads", action="store_true",
+                    help="jax.checkpoint the SSC/occluded heads "
+                         "(cfg.remat_heads: trade recompute for the "
+                         "full-grid activation store/load traffic)")
     ap.add_argument("--json", action="store_true",
                     help="emit one JSON line (artifact format)")
     args = ap.parse_args()
@@ -51,7 +55,7 @@ def main():
         dataset="kitti", use_stereo_depth_gt=True, compute_dtype=args.dtype,
         remat_backbone=args.remat, stage_barriers=args.barriers,
         dw_conv_grad=args.dw_grad, layout_pin=args.layout_pin,
-        view_vmap=args.view_vmap,
+        view_vmap=args.view_vmap, remat_heads=args.remat_heads,
     )
     batch = make_synthetic_batch(cfg, batch_size=args.batch, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
@@ -98,6 +102,25 @@ def main():
     dt = (tK - t1) / (K - 1)
     loss = float(logs["loss"])
 
+    # physics context (VERDICT r4 next-#6): static optimized-HLO roofline
+    # of the step -> HBM utilization + MFU at the measured time.  The
+    # traffic count assumes no on-chip reuse, so hbm_util is an upper
+    # bound; ~1.0 means the step IS at the bandwidth roofline.
+    hbm_util = mfu = None
+    try:
+        from occdepth_tpu.utils import hlo_profile
+
+        rows = hlo_profile.hlo_breakdown(
+            lambda st, b: train_step(st, b, jnp.zeros(()))[0].params,
+            state, sharded,
+        )
+        traffic = sum(r.bytes for r in rows)
+        flops = sum(r.flops for r in rows)
+        hbm_util = round(traffic / hlo_profile.HBM_BW / dt, 3)
+        mfu = round(flops / hlo_profile.PEAK_FLOPS / dt, 4)
+    except Exception as e:
+        print(f"(roofline derivation failed: {e!r})")
+
     if args.json:
         import json
 
@@ -110,12 +133,15 @@ def main():
             "batch": args.batch,
             "loss": round(loss, 4),
             "wall_single_dispatch_ms": round(t1 * 1000, 1),
+            "hbm_util": hbm_util,
+            "mfu": mfu,
         }))
     else:
         print(
             f"train step (device): {dt * 1000:.1f} ms  "
             f"({args.batch / dt:.2f} frames/sec/chip, loss={loss:.3f}; "
-            f"single-dispatch wall {t1 * 1000:.0f} ms)"
+            f"single-dispatch wall {t1 * 1000:.0f} ms; "
+            f"hbm_util~{hbm_util} mfu~{mfu})"
         )
 
 

@@ -16,7 +16,8 @@ command (auto-resume, reference scripts/train.py:173-206), and asserts:
   * no NaN/inf anywhere in the logged losses.
 
 Writes a summary JSON and copies the full metrics.jsonl loss curve next to
-it (committed copies: docs/artifacts/convergence_r4.json + _metrics.jsonl).
+it (committed copies: docs/artifacts/convergence_r5.json + _metrics.jsonl,
+produced by the round-5 run of this script).
 
     python -m occdepth_tpu.scripts.check_convergence \
         --base /tmp/conv_check --epochs 15 --kill-step 150

