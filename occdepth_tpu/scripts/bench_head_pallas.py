@@ -48,7 +48,7 @@ USEFUL_FLOPS = 2 * M_TOTAL * C * 27 * C  # one 3x3x3 conv, 29 GFLOP
 
 
 def _matmul_kernel(p_ref, w_ref, o_ref):
-    o_ref[:] = jnp.dot(
+    o_ref[0] = jnp.dot(
         p_ref[0], w_ref[:], preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
