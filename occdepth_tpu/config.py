@@ -159,9 +159,11 @@ class OccDepthConfig:
     # per that measurement.
     dw_conv_grad: str = "xla"
     # Full-grid layout-pin experiment (ops/layout_pin.py): "off" | "xminor"
-    # | "cminor".  TPU-only modes used by scripts/bench_layout_pin.py to
-    # test whether pinning the 3D decoder's stage-boundary layouts fixes
-    # the batched-eval layout pathology at the root (VERDICT r3 #1a).
+    # | "cminor" pin the 3D decoder's three stage seams; "xminor-all" |
+    # "cminor-all" additionally pin the head-chain interiors (granular-pin
+    # experiment).  TPU-only modes used by scripts/bench_layout_pin.py to
+    # test whether pinning full-grid layouts fixes the batched-eval layout
+    # pathology at the root (VERDICT r3 #1a / r4 #7).
     layout_pin: str = "off"
     # Bench-only experiment (bench_train --view-vmap): vmap the 2D backbone
     # over views in training instead of sequential per-view calls.  Changes
@@ -178,6 +180,12 @@ class OccDepthConfig:
     # a traffic-for-FLOPs trade on a ~93% HBM-bound step (measured in
     # docs/DESIGN.md round 5).  Exact same math and parameter pytree.
     remat_heads: bool = False
+    # jax.checkpoint the LOSS assembly in training: the losses materialize
+    # fp32 softmax/log-softmax/one-hot grids ((B,X,Y,Z,C) at fp32) and
+    # fp-loss chunk masks that XLA stores for the backward; remat
+    # recomputes them from the bf16 logits instead.  Gradient-exact
+    # (identical math re-run); measured in docs/DESIGN.md round 5.
+    remat_loss: bool = False
     # Perf-attribution knob (bench_knockout only): scales whose SFA lift
     # reads a stop_gradient'd copy of the 2D feature map — isolates the
     # in-context cost of the gather backwards (table scatter-adds + the

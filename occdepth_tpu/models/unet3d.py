@@ -102,20 +102,21 @@ class UNet3DKitti(nn.Module):
         if self.cascade_cls:
             ssc, occ = head_cls(
                 f // 2, self.n_classes, (1, 2, 3), cascade_cls=True,
-                dtype=self.dtype, name="ssc_head",
+                layout_pin=self.layout_pin, dtype=self.dtype, name="ssc_head",
             )(x3d_full, train)
             res["ssc_logit"] = pin_grid(ssc, self.layout_pin)
             res["occ_logit"] = occ
         else:
             res["ssc_logit"] = head_cls(
-                f // 2, self.n_classes, (1, 2, 3), dtype=self.dtype,
-                name="ssc_head",
+                f // 2, self.n_classes, (1, 2, 3),
+                layout_pin=self.layout_pin, dtype=self.dtype, name="ssc_head",
             )(x3d_full, train)
 
         if self.occluded_cls:
             res["occluded_logit"] = head_cls(
                 f // 2, self.n_classes, (1, 2, 3), occluded_only=True,
-                dtype=self.dtype, name="occluded_head",
+                layout_pin=self.layout_pin, dtype=self.dtype,
+                name="occluded_head",
             )(x3d_full, train)
         return res
 

@@ -207,25 +207,32 @@ class SegmentationHead(nn.Module):
     dilations: Sequence[int] = (1, 2, 3)
     cascade_cls: bool = False
     occluded_only: bool = False
+    layout_pin: str = "off"  # '-all' modes pin the interior chain too
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from occdepth_tpu.ops.layout_pin import granular, pin_grid
+
+        # interior pins only under the granular ('-all') experiment modes;
+        # seam pins are the caller's (unet3d.py) responsibility
+        pin = (lambda t: pin_grid(t, self.layout_pin)) \
+            if granular(self.layout_pin) else (lambda t: t)
         bn = lambda name: BatchNorm(0.1, dtype=self.dtype, name=name)
-        x = nn.relu(torch_conv(self.planes, (3, 3, 3), dtype=self.dtype,
-                               name="conv0")(x))
+        x = pin(nn.relu(torch_conv(self.planes, (3, 3, 3), dtype=self.dtype,
+                                   name="conv0")(x)))
         y = None
         for i, d in enumerate(self.dilations):
             h = torch_conv(self.planes, (3, 3, 3), padding=(d, d, d),
                            dilation=(d, d, d), use_bias=False, dtype=self.dtype,
                            name=f"conv1_{i}")(x)
-            h = nn.relu(bn(f"bn1_{i}")(h, train))
+            h = pin(nn.relu(bn(f"bn1_{i}")(h, train)))
             h = torch_conv(self.planes, (3, 3, 3), padding=(d, d, d),
                            dilation=(d, d, d), use_bias=False, dtype=self.dtype,
                            name=f"conv2_{i}")(h)
-            h = bn(f"bn2_{i}")(h, train)
+            h = pin(bn(f"bn2_{i}")(h, train))
             y = h if y is None else y + h
-        x = nn.relu(y + x)
+        x = pin(nn.relu(y + x))
 
         if self.occluded_only:
             return torch_conv(2, (3, 3, 3), dtype=self.dtype, name="occ_classes")(x)
@@ -233,7 +240,7 @@ class SegmentationHead(nn.Module):
         if self.cascade_cls:
             occ = torch_conv(2, (3, 3, 3), dtype=self.dtype, name="occ_classes")(x)
             occ_softmax = nn.softmax(occ.astype(jnp.float32), axis=-1).astype(x.dtype)
-            x = jnp.concatenate([x, occ_softmax], axis=-1)
+            x = pin(jnp.concatenate([x, occ_softmax], axis=-1))
             ssc = torch_conv(self.n_classes, (3, 3, 3), dtype=self.dtype,
                              name="conv_classes")(x)
             return ssc, occ

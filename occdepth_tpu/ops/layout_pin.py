@@ -27,7 +27,23 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_MODES = ("off", "xminor", "cminor")
+_MODES = ("off", "xminor", "cminor", "xminor-all", "cminor-all")
+
+
+def base_mode(mode: str) -> str:
+    """'xminor-all' -> 'xminor' (the '-all' suffix selects WHERE pins go —
+    interior head/ASPP tensors too, not just the three stage seams — the
+    granular-pin experiment of VERDICT r4 next-#7)."""
+    if mode in (None, "off"):
+        return "off"
+    if mode not in _MODES:
+        raise ValueError(f"layout_pin mode {mode!r} not in {_MODES}")
+    return mode.split("-", 1)[0]
+
+
+def granular(mode: str) -> bool:
+    """True when interior (head-chain) pins are requested ('-all' modes)."""
+    return bool(mode) and mode.endswith("-all")
 
 
 def pin_grid(x: jnp.ndarray, mode: str) -> jnp.ndarray:
@@ -36,9 +52,10 @@ def pin_grid(x: jnp.ndarray, mode: str) -> jnp.ndarray:
         return x
     from jax.experimental.layout import Layout, with_layout_constraint
 
-    if mode == "xminor":
+    m = base_mode(mode)
+    if m == "xminor":
         m2m = (0, 2, 3, 4, 1)
-    elif mode == "cminor":
+    elif m == "cminor":
         m2m = (0, 1, 2, 3, 4)
     else:
         raise ValueError(f"layout_pin mode {mode!r} not in {_MODES}")

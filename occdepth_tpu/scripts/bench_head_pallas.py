@@ -72,10 +72,15 @@ def pallas_matmul_probe(m_tile: int, k: int, n: int, n_steps: int):
     return fn, p, w
 
 
+CHAIN = 8  # conv-equivalents per pallas_call: one call must be several ms
+           # so the (tK - t1)/(K - 1) delta clears the ~30 ms tunnel-RTT
+           # jitter (sub-ms per-call work measured negative in the first run)
+
+
 def time_probe(m_tile, k, n, n_steps, repeats):
     """Time n_steps chained (m_tile,k)@(k,n) matmuls, patch resident."""
-    fn, p, w = pallas_matmul_probe(m_tile, k, n, n_steps)
-    return timeit(lambda p, w: fn(p, w), p, w, K=repeats)
+    fn, p, w = pallas_matmul_probe(m_tile, k, n, n_steps * CHAIN)
+    return timeit(lambda p, w: fn(p, w), p, w, K=repeats) / CHAIN
 
 
 def main():
@@ -96,12 +101,16 @@ def main():
     kern = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, C, C),
                              jnp.bfloat16)
     for d in (1, 2, 3):
-        t = timeit(
-            functools.partial(
-                conv3d_decomposed, strides=(1, 1, 1),
-                padding=((d, d), (d, d), (d, d)), dilation=(d, d, d)),
-            x, kern, K=args.repeats,
-        )
+        # chain CHAIN dependent convs per call (same RTT-jitter reasoning
+        # as the pallas probes; a single ~0.3 ms conv measures negative)
+        def chained_conv(x, kern, _d=d):
+            for _ in range(CHAIN):
+                x = conv3d_decomposed(
+                    x, kern, strides=(1, 1, 1),
+                    padding=((_d, _d), (_d, _d), (_d, _d)),
+                    dilation=(_d, _d, _d))
+            return x
+        t = timeit(chained_conv, x, kern, K=args.repeats) / CHAIN
         results[f"xla_conv_d{d}_ms"] = round(t, 3)
         print(f"XLA decomposed conv3d dil={d}: {t:7.3f} ms  "
               f"({USEFUL_FLOPS / t / 1e9:.1f} TFLOP/s useful)")
@@ -130,7 +139,9 @@ def main():
     probes = [
         ("im2col_432x16", 8192, 432, 16, M_TOTAL // 8192),
         ("dzpack_144x48", 8192, 144, 48, M_TOTAL // 8192),
-        ("lanefold_512x512", 8192, 512, 512, 72),
+        # m_tile 2048: at 8192 the double-buffered (m_tile, 512) out block
+        # + resident in block exceed the 16M scoped-VMEM limit (24.5M)
+        ("lanefold_512x512", 2048, 512, 512, 72 * 4),
     ]
     for name, m_tile, k, n, n_steps in probes:
         t = time_probe(m_tile, k, n, n_steps, args.repeats)

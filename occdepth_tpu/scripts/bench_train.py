@@ -46,6 +46,10 @@ def main():
                     help="jax.checkpoint the SSC/occluded heads "
                          "(cfg.remat_heads: trade recompute for the "
                          "full-grid activation store/load traffic)")
+    ap.add_argument("--remat-loss", action="store_true",
+                    help="jax.checkpoint the loss assembly "
+                         "(cfg.remat_loss: recompute fp32 softmax/one-hot "
+                         "grids in the backward instead of storing them)")
     ap.add_argument("--json", action="store_true",
                     help="emit one JSON line (artifact format)")
     args = ap.parse_args()
@@ -56,6 +60,7 @@ def main():
         remat_backbone=args.remat, stage_barriers=args.barriers,
         dw_conv_grad=args.dw_grad, layout_pin=args.layout_pin,
         view_vmap=args.view_vmap, remat_heads=args.remat_heads,
+        remat_loss=args.remat_loss,
     )
     batch = make_synthetic_batch(cfg, batch_size=args.batch, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=1000)

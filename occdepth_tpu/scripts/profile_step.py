@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--what", default="train",
                     choices=("train", "eval", "forward"))
     ap.add_argument("--top", type=int, default=30)
-    ap.add_argument("--group", default=None, choices=(None, "scope"))
+    ap.add_argument("--group", default=None, choices=(None, "scope", "dtype"))
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--dtype", default=None,
                     help="override compute dtype (default: the config's; "

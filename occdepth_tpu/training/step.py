@@ -187,6 +187,20 @@ def make_train_step(
     """
     model = create_model(cfg)
 
+    if getattr(cfg, "remat_loss", False):
+        # recompute the loss assembly's fp32 intermediates (softmax/
+        # log-softmax/one-hot over the (B,X,Y,Z,C) grid, fp-loss chunk
+        # masks) in the backward from the bf16 logits instead of storing
+        # them — gradient-exact (identical math re-run), trades ~free VPU
+        # recompute for fp32 full-grid store+load on an HBM-bound step
+        losses_fn = jax.checkpoint(
+            lambda out, batch, progress: compute_losses(
+                cfg, out, batch, progress
+            )
+        )
+    else:
+        losses_fn = partial(compute_losses, cfg)
+
     def grads_and_aux(params, batch_stats, batch, progress):
         def loss_fn(params):
             out, new_model_state = model.apply(
@@ -195,7 +209,7 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss, logs = compute_losses(cfg, out, batch, progress)
+            loss, logs = losses_fn(out, batch, progress)
             return loss, (logs, new_model_state, out)
 
         grads, (logs, new_model_state, out) = jax.grad(

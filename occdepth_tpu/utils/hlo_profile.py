@@ -289,6 +289,22 @@ def group_by_scope(rows: Sequence[InstrCost], depth: int = 3
     return out
 
 
+def group_by_dtype(rows: Sequence[InstrCost]
+                   ) -> List[Tuple[str, float, int, int]]:
+    """Aggregate roofline cost by OUTPUT dtype — the dtype-in-flight audit
+    (which share of HBM traffic moves fp32 that could be bf16)."""
+    agg: Dict[str, List[float]] = {}
+    for r in rows:
+        key = r.out_type.split("[", 1)[0] or "?"
+        a = agg.setdefault(key, [0.0, 0, 0])
+        a[0] += r.t_us
+        a[1] += r.bytes
+        a[2] += r.flops
+    out = [(k, v[0], v[1], v[2]) for k, v in agg.items()]
+    out.sort(key=lambda x: -x[1])
+    return out
+
+
 def print_breakdown(rows: Sequence[InstrCost], top: int = 30,
                     group: Optional[str] = None, depth: int = 3) -> None:
     total = sum(r.t_us for r in rows)
@@ -299,6 +315,10 @@ def print_breakdown(rows: Sequence[InstrCost], top: int = 30,
           f"flops {tf/1e12:.2f} T -> {tf/PEAK_FLOPS*1e3:.2f} ms)")
     if group == "scope":
         for key, t, b, f in group_by_scope(rows, depth)[:top]:
+            print(f"{t/1e3:8.3f} ms  {b/1e6:9.1f} MB  {f/1e9:9.1f} GF  {key}")
+        return
+    if group == "dtype":
+        for key, t, b, f in group_by_dtype(rows)[:top]:
             print(f"{t/1e3:8.3f} ms  {b/1e6:9.1f} MB  {f/1e9:9.1f} GF  {key}")
         return
     for r in rows[:top]:

@@ -217,3 +217,29 @@ def test_remat_heads_grads_exact():
                     jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_remat_loss_grads_exact():
+    """cfg.remat_loss is pure rematerialization of the loss assembly:
+    identical losses and gradients (jax.checkpoint re-runs the same
+    math in the backward), no pytree change."""
+    import dataclasses
+
+    cfg_a = tiny_kitti_config()
+    cfg_b = dataclasses.replace(cfg_a, remat_loss=True)
+    batch = make_synthetic_batch(cfg_a, batch_size=1, seed=11)
+
+    outs = []
+    for cfg in (cfg_a, cfg_b):
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        state = init_state(cfg, jax.random.PRNGKey(2), batch, tx)
+        step = make_train_step(cfg, tx)
+        state, logs, *_ = step(state, batch, jnp.zeros(()))
+        outs.append((jax.device_get(state.params), float(logs["loss"])))
+
+    (pa, la), (pb, lb) = outs
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
