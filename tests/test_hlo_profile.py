@@ -110,3 +110,19 @@ def test_while_body_charged():
     w = whiles[0]
     assert w.flops >= 2 * 64 * 64 * 64  # one iteration's dot
     assert "trip count unknown" in w.scope
+
+
+def test_group_by_dtype():
+    """The dtype-in-flight audit grouping: totals are preserved and keys
+    are dtype prefixes of the output types."""
+    from occdepth_tpu.utils.hlo_profile import group_by_dtype
+
+    def f(a, b):
+        return jnp.sum(jnp.dot(a, b).astype(jnp.bfloat16).astype(jnp.float32))
+
+    rows = hlo_breakdown(f, jnp.ones((64, 32)), jnp.ones((32, 16)))
+    groups = group_by_dtype(rows)
+    assert groups
+    assert sum(g[2] for g in groups) == sum(r.bytes for r in rows)
+    for key, *_ in groups:
+        assert "[" not in key
