@@ -85,64 +85,37 @@ def _throughput(batch_size: int, n_iters: int = 10) -> float:
 
 def _device_roofline():
     """Physics context for the headline (VERDICT r4 weak #6): measure the
-    DEVICE ms/frame at bs=1 with the chained-K protocol (cancels the tunnel
-    dispatch overhead; see bench_train.py), then derive HBM utilization and
-    MFU against the static optimized-HLO roofline (utils/hlo_profile — its
-    byte counts assume no cache reuse, so hbm_util is an upper bound)."""
-    import jax
-    import jax.numpy as jnp
-
+    DEVICE ms/frame at bs=1 with the chained-K honest-timing protocol
+    (bench_components2.timeit: per-iteration AND per-rep input
+    perturbation, so no timed execution is ever a bit-identical replay of
+    a previous one; the chained difference cancels the tunnel dispatch
+    overhead), then derive HBM utilization and MFU against the static
+    optimized-HLO roofline (utils/hlo_profile.roofline_summary — its byte
+    counts assume no cache reuse, so hbm_util is an upper bound; >=1 reads
+    as "at the HBM roofline")."""
+    from occdepth_tpu.scripts.bench_components2 import timeit
     from occdepth_tpu.utils import hlo_profile
 
     model, variables, batch, fn = _setup(1)
-    batch = jax.device_put(batch)
-    variables = jax.device_put(variables)
-
-    def chain(k_steps):
-        @jax.jit
-        def f(v, b):
-            def body(k, acc):
-                # perturb the input by the loop index so the forward is
-                # NOT loop-invariant (XLA would hoist fn(v, b) out of the
-                # loop and compute it once — observed: 0.9 "ms/frame")
-                b2 = dict(b)
-                b2["img"] = b["img"] + jnp.asarray(
-                    k, b["img"].dtype) * jnp.asarray(1e-6, b["img"].dtype)
-                return acc + fn(v, b2)
-            return jax.lax.fori_loop(0, k_steps, body, jnp.zeros(()))
-        return f
-
-    K = 8
-    f1, fK = chain(1), chain(K)
-    float(f1(variables, batch))
-    float(fK(variables, batch))
-    t1 = tK = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        float(f1(variables, batch))
-        t1 = min(t1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(fK(variables, batch))
-        tK = min(tK, time.perf_counter() - t0)
-    dev_s = (tK - t1) / (K - 1)
+    # timeit perturbs the FIRST float leaf of the args per chained
+    # iteration; that leaf must be the IMAGE so the whole network is
+    # downstream and nothing is loop-invariant — perturbing a parameter
+    # leaf (args=(variables, batch)) lets XLA hoist every subgraph not
+    # touching that one param out of the loop (measured 36 "ms/frame" vs
+    # the honest 55, inconsistent with the 17 fps pipelined wall rate).
+    rest = {k: v for k, v in batch.items() if k != "img"}
+    dev_ms = timeit(
+        lambda img, v, rest: fn(v, dict(rest, img=img)),
+        batch["img"], variables, rest, K=8,
+    )
 
     rows = hlo_profile.hlo_breakdown(
         lambda v, b: model.apply(v, b, train=False)["ssc_logit"],
         variables, batch,
     )
-    traffic = sum(r.bytes for r in rows)
-    flops = sum(r.flops for r in rows)
     return {
-        "device_ms_per_frame": round(dev_s * 1e3, 1),
-        "hlo_traffic_gb": round(traffic / 1e9, 1),
-        "hlo_flops_tflop": round(flops / 1e12, 2),
-        # fraction of the measured device time explained by the static
-        # no-reuse HBM traffic bound at peak bandwidth / by MXU flops at
-        # peak throughput (v5e peaks in utils/hlo_profile.py).  The
-        # traffic bound double-counts operands that stay resident, so
-        # hbm_util CAN exceed 1; >=1 reads as "at the HBM roofline".
-        "hbm_util": round(traffic / hlo_profile.HBM_BW / dev_s, 3),
-        "mfu": round(flops / hlo_profile.PEAK_FLOPS / dev_s, 4),
+        "device_ms_per_frame": round(dev_ms, 1),
+        **hlo_profile.roofline_summary(rows, dev_ms / 1e3),
     }
 
 

@@ -30,7 +30,6 @@ rejected on measurement (the verdict table lives in docs/DESIGN.md).
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 
 import jax

@@ -89,16 +89,11 @@ def main():
             )
     print_breakdown(rows, top=args.top, group=args.group, depth=args.depth)
     if args.measured_ms:
-        from occdepth_tpu.utils.hlo_profile import HBM_BW, PEAK_FLOPS
+        from occdepth_tpu.utils.hlo_profile import roofline_summary
 
-        traffic = sum(r.bytes for r in rows)
-        flops = sum(r.flops for r in rows)
-        dt = args.measured_ms / 1e3
-        # traffic assumes no on-chip reuse -> hbm_util is an upper bound;
-        # ~1.0 means the graph runs at the HBM bandwidth roofline
+        summ = roofline_summary(rows, args.measured_ms / 1e3)
         print(f"at measured {args.measured_ms:.1f} ms: "
-              f"hbm_util~{traffic / HBM_BW / dt:.3f} "
-              f"mfu~{flops / PEAK_FLOPS / dt:.4f}")
+              f"hbm_util~{summ['hbm_util']} mfu~{summ['mfu']}")
 
 
 if __name__ == "__main__":

@@ -289,13 +289,33 @@ def group_by_scope(rows: Sequence[InstrCost], depth: int = 3
     return out
 
 
+def _dominant_dtype(type_str: str) -> str:
+    """Dtype of the byte-dominant element of a (possibly tuple) HLO type.
+    Multi-output fusions like `(f32[16], bf16[1,256,256,32,16])` are
+    attributed to the big element's dtype, not the first one's — charging
+    a 67 MB bf16 conv fusion to its tiny f32 stat output would corrupt
+    the dtype-in-flight audit."""
+    best, best_bytes = "?", -1
+    for dt, dims in _SHAPE_RE.findall(type_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = _DTYPE_BYTES[dt]
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        if n > best_bytes:
+            best, best_bytes = dt, n
+    return best
+
+
 def group_by_dtype(rows: Sequence[InstrCost]
                    ) -> List[Tuple[str, float, int, int]]:
-    """Aggregate roofline cost by OUTPUT dtype — the dtype-in-flight audit
-    (which share of HBM traffic moves fp32 that could be bf16)."""
+    """Aggregate roofline cost by the output's byte-DOMINANT dtype — the
+    dtype-in-flight audit (which share of HBM traffic moves fp32 that
+    could be bf16)."""
     agg: Dict[str, List[float]] = {}
     for r in rows:
-        key = r.out_type.split("[", 1)[0] or "?"
+        key = _dominant_dtype(r.out_type)
         a = agg.setdefault(key, [0.0, 0, 0])
         a[0] += r.t_us
         a[1] += r.bytes
@@ -303,6 +323,21 @@ def group_by_dtype(rows: Sequence[InstrCost]
     out = [(k, v[0], v[1], v[2]) for k, v in agg.items()]
     out.sort(key=lambda x: -x[1])
     return out
+
+
+def roofline_summary(rows: Sequence[InstrCost], measured_s: float) -> Dict:
+    """Derived physics for a measured device time: HBM utilization and MFU
+    against the static optimized-HLO roofline.  The byte count assumes no
+    on-chip reuse, so hbm_util is an upper bound (can exceed 1; ~1 reads
+    as 'at the HBM roofline')."""
+    traffic = sum(r.bytes for r in rows)
+    flops = sum(r.flops for r in rows)
+    return {
+        "hlo_traffic_gb": round(traffic / 1e9, 1),
+        "hlo_flops_tflop": round(flops / 1e12, 2),
+        "hbm_util": round(traffic / HBM_BW / measured_s, 3),
+        "mfu": round(flops / PEAK_FLOPS / measured_s, 4),
+    }
 
 
 def print_breakdown(rows: Sequence[InstrCost], top: int = 30,

@@ -35,8 +35,10 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 # geometry oracles, and the composed eval-table parity — no multi-device
 # compiles (VERDICT r4 weak #5: one 8-device compile on a cold cache can
 # exceed the whole tier's budget on this 1-core host).  Multi-device DP
-# equivalence lives in the `dp` tier (test_parallel_scaling.py;
-# `pytest -m dp`), run before committing parallel/step changes.
+# equivalence lives in the `dp` tier (`pytest -m dp`): all of
+# test_parallel_scaling.py plus the @pytest.mark.dp-marked 8-device
+# full-model tests in test_train_step.py — run before committing
+# parallel/step changes.
 SMOKE_FILES = {
     "test_ops.py",
     "test_losses.py",

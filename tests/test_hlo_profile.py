@@ -125,4 +125,16 @@ def test_group_by_dtype():
     assert groups
     assert sum(g[2] for g in groups) == sum(r.bytes for r in rows)
     for key, *_ in groups:
-        assert "[" not in key
+        assert "[" not in key and "(" not in key
+
+
+def test_dominant_dtype_tuple():
+    """Tuple outputs are attributed to the byte-dominant element's dtype,
+    not the first element's (multi-output conv+BN-stat fusions emit
+    (f32[C], bf16[huge]))."""
+    from occdepth_tpu.utils.hlo_profile import _dominant_dtype
+
+    assert _dominant_dtype(
+        "(f32[16]{0}, bf16[1,256,256,32,16]{4,3,2,1,0})") == "bf16"
+    assert _dominant_dtype("f32[1,2,3]{2,1,0}") == "f32"
+    assert _dominant_dtype("(pred[8]{0}, s32[2]{0})") == "pred"

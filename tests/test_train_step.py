@@ -56,6 +56,7 @@ def test_train_step_decreases_nothing_nan(setup):
     assert conf.shape == (cfg.n_classes, cfg.n_classes)
 
 
+@pytest.mark.dp
 def test_data_parallel_8_devices():
     """Full train step sharded over an 8-device mesh (GSPMD DP)."""
     assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
@@ -130,6 +131,7 @@ def test_dp_syncbn_and_grad_sync_exact():
     )
 
 
+@pytest.mark.dp
 @pytest.mark.slow
 def test_dp_equivalence_full_model():
     """Sharded DP full train step ~= single-device step, same global batch.
