@@ -52,16 +52,34 @@ def main():
                          "grids in the backward instead of storing them)")
     ap.add_argument("--json", action="store_true",
                     help="emit one JSON line (artifact format)")
+    ap.add_argument("--config", default=None,
+                    help="bench a shipped YAML config instead of the "
+                         "flagship KITTI stereo default (e.g. the NYU "
+                         "virtual-stereo config)")
     args = ap.parse_args()
     enable()
 
-    cfg = OccDepthConfig(
-        dataset="kitti", use_stereo_depth_gt=True, compute_dtype=args.dtype,
-        remat_backbone=args.remat, stage_barriers=args.barriers,
-        dw_conv_grad=args.dw_grad, layout_pin=args.layout_pin,
-        view_vmap=args.view_vmap, remat_heads=args.remat_heads,
-        remat_loss=args.remat_loss,
-    )
+    if args.config:
+        import dataclasses
+
+        from occdepth_tpu.config import load_config
+
+        cfg = dataclasses.replace(
+            load_config(args.config, {}),
+            compute_dtype=args.dtype, remat_backbone=args.remat,
+            stage_barriers=args.barriers, dw_conv_grad=args.dw_grad,
+            layout_pin=args.layout_pin, view_vmap=args.view_vmap,
+            remat_heads=args.remat_heads, remat_loss=args.remat_loss,
+        )
+    else:
+        cfg = OccDepthConfig(
+            dataset="kitti", use_stereo_depth_gt=True,
+            compute_dtype=args.dtype,
+            remat_backbone=args.remat, stage_barriers=args.barriers,
+            dw_conv_grad=args.dw_grad, layout_pin=args.layout_pin,
+            view_vmap=args.view_vmap, remat_heads=args.remat_heads,
+            remat_loss=args.remat_loss,
+        )
     batch = make_synthetic_batch(cfg, batch_size=args.batch, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
     state = init_state(cfg, jax.random.PRNGKey(0), batch, tx)
@@ -134,7 +152,8 @@ def main():
         import json
 
         print(json.dumps({
-            "metric": "semantickitti_flagship_train_step_device",
+            "metric": ("train_step_device:" + args.config) if args.config
+                      else "semantickitti_flagship_train_step_device",
             "remat_backbone": args.remat,
             "value": round(dt * 1000, 1),
             "unit": "ms/step",
