@@ -14,6 +14,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from occdepth_tpu.ops.layout_pin import granular, pin_grid
 from occdepth_tpu.models.layers import BatchNorm, torch_conv
 
 
@@ -212,8 +213,6 @@ class SegmentationHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from occdepth_tpu.ops.layout_pin import granular, pin_grid
-
         # interior pins only under the granular ('-all') experiment modes;
         # seam pins are the caller's (unet3d.py) responsibility
         pin = (lambda t: pin_grid(t, self.layout_pin)) \

@@ -59,26 +59,21 @@ def main():
     args = ap.parse_args()
     enable()
 
+    knobs = dict(
+        compute_dtype=args.dtype, remat_backbone=args.remat,
+        stage_barriers=args.barriers, dw_conv_grad=args.dw_grad,
+        layout_pin=args.layout_pin, view_vmap=args.view_vmap,
+        remat_heads=args.remat_heads, remat_loss=args.remat_loss,
+    )
     if args.config:
         import dataclasses
 
         from occdepth_tpu.config import load_config
 
-        cfg = dataclasses.replace(
-            load_config(args.config, {}),
-            compute_dtype=args.dtype, remat_backbone=args.remat,
-            stage_barriers=args.barriers, dw_conv_grad=args.dw_grad,
-            layout_pin=args.layout_pin, view_vmap=args.view_vmap,
-            remat_heads=args.remat_heads, remat_loss=args.remat_loss,
-        )
+        cfg = dataclasses.replace(load_config(args.config, {}), **knobs)
     else:
         cfg = OccDepthConfig(
-            dataset="kitti", use_stereo_depth_gt=True,
-            compute_dtype=args.dtype,
-            remat_backbone=args.remat, stage_barriers=args.barriers,
-            dw_conv_grad=args.dw_grad, layout_pin=args.layout_pin,
-            view_vmap=args.view_vmap, remat_heads=args.remat_heads,
-            remat_loss=args.remat_loss,
+            dataset="kitti", use_stereo_depth_gt=True, **knobs
         )
     batch = make_synthetic_batch(cfg, batch_size=args.batch, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
